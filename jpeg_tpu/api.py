@@ -1,0 +1,96 @@
+"""Public codec API: band-level and image-level compress/decompress.
+
+Mirrors the reference surface (pipeline/__init__.py:71-124): ``compress_band``
+/ ``decompress_band`` operate on single planes; :class:`Jpeg` splits an image
+into Y/Cb/Cr bands, compresses each independently with the same config, and
+packs the container.  PIL appears only at the image edges; the core works on
+arrays.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from . import container, entropy
+from .config import Configuration, QuantizationMethod  # re-export
+from .container import CompressedData
+from .ops.band import decode_band_levels, encode_band_levels
+
+
+def compress_band(a, config: Configuration, dtype=None) -> bytes:
+    """(H, W) integer band -> entropy-coded bytestream."""
+    levels = encode_band_levels(a, config, dtype=dtype)
+    return entropy.encode_levels(np.asarray(levels))
+
+
+def decompress_band(data: bytes, config: Configuration, dtype=None) -> np.ndarray:
+    """Band bytestream -> (H, W) int reconstruction."""
+    levels = entropy.decode_levels(bytes(data), config.num_blocks,
+                                   config.dct_size ** 2)
+    return np.asarray(decode_band_levels(levels, config, dtype=dtype))
+
+
+def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
+                   dtype=None) -> bytes:
+    """(H, W, 3) uint8 YCbCr image -> container bytes.
+
+    All three bands (including luma) go through the same subsample path,
+    matching the reference (pipeline/__init__.py:102-110).
+    """
+    ycbcr = np.asarray(ycbcr)
+    if ycbcr.ndim != 3 or ycbcr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) YCbCr array, got {ycbcr.shape}")
+    bands = [compress_band(ycbcr[:, :, i], config, dtype=dtype)
+             for i in range(3)]
+    return container.generate_data(config, CompressedData(*bands))
+
+
+def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
+    """Container bytes -> (H, W, 3) uint8 YCbCr image."""
+    config, data = container.read_data(bytestream)
+    planes = [decompress_band(b, config, dtype=dtype)
+              for b in (data.y, data.cb, data.cr)]
+    return np.dstack(planes).astype(np.uint8)
+
+
+class Jpeg:
+    """Image-level codec (reference pipeline/__init__.py:98-124)."""
+
+    def __init__(self, config: Configuration, dtype=None):
+        self.config = config
+        self.dtype = dtype
+
+    def compress(self, image) -> bytes:
+        """Compress a PIL image (converted to YCbCr) or (H, W, 3) array."""
+        arr = _to_ycbcr_array(image)
+        return compress_ycbcr(arr, self.config, dtype=self.dtype)
+
+    @staticmethod
+    def decompress(bytestream: bytes, dtype=None):
+        """Decompress container bytes to a PIL YCbCr image (or an array if
+        PIL is unavailable)."""
+        arr = decompress_to_ycbcr(bytestream, dtype=dtype)
+        try:
+            from PIL import Image
+        except ImportError:
+            return arr
+        return Image.fromarray(arr, mode="YCbCr")
+
+
+def _to_ycbcr_array(image) -> np.ndarray:
+    if isinstance(image, np.ndarray):
+        return image
+    if image.mode != "YCbCr":
+        image = image.convert("YCbCr")
+    return np.asarray(image)
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    """Peak signal-to-noise ratio between two images (dB)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak * peak / mse))

@@ -1,0 +1,50 @@
+"""Entropy coding: run-length + bitstream pack/unpack.
+
+Backends:
+  * ``native``  — C++ codec (ctypes), fastest; built lazily from
+    ``jpeg_tpu/entropy/native/entropy.cpp``.
+  * ``numpy``   — fully vectorized NumPy codec; always available.
+
+``encode_levels`` / ``decode_levels`` pick the best available backend.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import numpy_codec
+from .numpy_codec import MAX_AMP, MAX_RUN, MAX_SIZE
+
+_native = None
+_native_checked = False
+
+
+def _get_native():
+    global _native, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        if os.environ.get("JPEG_TPU_NO_NATIVE"):
+            _native = None
+        else:
+            try:
+                from . import native_codec
+                _native = native_codec if native_codec.available() else None
+            except Exception:
+                _native = None
+    return _native
+
+
+def encode_levels(levels: np.ndarray) -> bytes:
+    levels = np.ascontiguousarray(np.asarray(levels), dtype=np.int32)
+    nat = _get_native()
+    if nat is not None:
+        return nat.encode_levels(levels)
+    return numpy_codec.encode_levels(levels)
+
+
+def decode_levels(data: bytes, num_blocks: int, L: int) -> np.ndarray:
+    nat = _get_native()
+    if nat is not None:
+        return nat.decode_levels(data, num_blocks, L)
+    return numpy_codec.decode_levels(data, num_blocks, L)

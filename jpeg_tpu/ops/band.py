@@ -1,0 +1,114 @@
+"""Fused per-band coefficient pipeline (pixels <-> quantized zigzag levels).
+
+This is the TPU compute path: everything between raw pixels and integer
+entropy-coder levels runs as ONE jitted function per direction —
+pad -> subsample -> pad -> blockify -> (DCT+zigzag matmul) -> quantize ->
+int cast, and its exact inverse.  It replaces reference pipeline steps 0-6
+(pipeline/padding.py, subsampling.py, dct_padding.py, normalization.py,
+basis_change.py, quantization.py, zigzag_order.py), whose per-block Python
+loops become batched tensor ops that XLA fuses around a single MXU matmul.
+
+Functions are cached per static config signature so repeated calls reuse the
+compiled executable.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Configuration, QuantizationMethod
+from . import blocks as B
+from . import quantize as Q
+from . import transform as T
+
+
+def default_dtype():
+    """f64 when x64 is enabled (bit-parity mode on CPU), else f32 (TPU)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _config_key(config: Configuration) -> Tuple:
+    q = config.quantization
+    return (config.height, config.width, config.block_size, config.dct_size,
+            config.transform, q.name, tuple(sorted(q.params.items())))
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_fn(key: Tuple, dtype_name: str) -> Callable:
+    h, w, bs, d, transform, qname, qparams = key
+    method = QuantizationMethod(qname, **dict(qparams))
+    dtype = jnp.dtype(dtype_name)
+    L = d * d
+
+    @jax.jit
+    def f(band):
+        a = band
+        if bs > 1:                      # Padding step skips when block_size==1
+            a = B.pad_edge(a, bs)       # (reference pipeline/padding.py:9-10)
+        sub = B.subsample(a.astype(dtype), bs)
+        sub = B.pad_edge(sub, d)
+        blk = B.blockify(sub, d)        # (NV, NH, d, d)
+        nv, nh = blk.shape[:2]
+        if transform == "DCT":
+            vecs = blk.reshape(nv * nh, L)
+            coeffs = T.dct2_zigzag(vecs, d)
+        elif transform == "DFT":
+            coeffs = T.dft2_real_zigzag(blk.reshape(nv * nh, d, d), d)
+        else:
+            raise ValueError(f"unknown transform {transform!r}")
+        levels = Q.quantize(coeffs, method, d)
+        return levels.astype(jnp.int32)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_fn(key: Tuple, dtype_name: str) -> Callable:
+    h, w, bs, d, transform, qname, qparams = key
+    method = QuantizationMethod(qname, **dict(qparams))
+    dtype = jnp.dtype(dtype_name)
+    cfg = Configuration(width=w, height=h, block_size=bs, dct_size=d,
+                        transform=transform,
+                        quantization=QuantizationMethod(qname, **dict(qparams)))
+    nv, nh = cfg.blocks_high, cfg.blocks_wide
+    L = d * d
+
+    @jax.jit
+    def f(levels):
+        deq = Q.dequantize(levels.astype(jnp.int64), method, d)
+        if transform == "DCT":
+            pix = T.izigzag_idct2(deq.astype(dtype), d)
+            blk = pix.reshape(nv, nh, d, d)
+        elif transform == "DFT":
+            blk = T.izigzag_idft2_real(deq.astype(dtype), d).reshape(nv, nh, d, d)
+        else:
+            raise ValueError(f"unknown transform {transform!r}")
+        plane = B.deblockify(blk)
+        # BasisChange.invert rounds to int FIRST (basis_change.py:43), then
+        # Normalization.invert clamps to [0, 255] (normalization.py:10-14).
+        plane = jnp.clip(jnp.round(plane), 0, 255).astype(jnp.int32)
+        plane = B.crop(plane, cfg.subsampled_height, cfg.subsampled_width)
+        plane = B.inflate(plane, bs)
+        return B.crop(plane, h, w)
+
+    return f
+
+
+def encode_band_levels(band, config: Configuration, dtype=None) -> jax.Array:
+    """(H, W) integer band -> (num_blocks, d*d) int32 zigzag levels."""
+    dt = np.dtype(dtype if dtype is not None else default_dtype())
+    return _encode_fn(_config_key(config), dt.name)(jnp.asarray(band))
+
+
+def decode_band_levels(levels, config: Configuration, dtype=None) -> jax.Array:
+    """(num_blocks, d*d) integer levels -> (H, W) int32 reconstructed band."""
+    dt = np.dtype(dtype if dtype is not None else default_dtype())
+    arr = jnp.asarray(levels)
+    expected = (config.num_blocks, config.dct_size ** 2)
+    if arr.shape != expected:
+        raise ValueError(f"levels shape {arr.shape} != expected {expected}")
+    return _decode_fn(_config_key(config), dt.name)(arr)

@@ -1,0 +1,79 @@
+"""Pixel-domain array ops: edge padding, mean-pool subsampling, blockify.
+
+TPU-first replacements for the reference's per-block Python loops
+(reference: util.py:17-89, pipeline/padding.py, pipeline/subsampling.py,
+pipeline/dct_padding.py).  All functions are pure, shape-static, and safe
+inside ``jax.jit``.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import BadArrayShapeError, EmptyArrayError, padded_size
+
+
+def _check_2d(a) -> None:
+    if a.ndim != 2:
+        raise BadArrayShapeError(a.shape)
+    if a.shape[0] == 0 or a.shape[1] == 0:
+        raise EmptyArrayError()
+
+
+def pad_edge(a, factor: int):
+    """Pad a 2-D array up to a multiple of ``factor`` by edge replication.
+
+    Matches reference util.py:17-41 (repeat last row/column), but as one
+    ``jnp.pad(mode='edge')`` instead of O(pad) array copies.
+    """
+    _check_2d(a)
+    ph = padded_size(a.shape[0], factor) - a.shape[0]
+    pw = padded_size(a.shape[1], factor) - a.shape[1]
+    if ph == 0 and pw == 0:
+        return a
+    return jnp.pad(a, ((0, ph), (0, pw)), mode="edge")
+
+
+def crop(a, height: int, width: int):
+    """Inverse of :func:`pad_edge` given the target dims (util.py:44-47)."""
+    return a[:height, :width]
+
+
+def subsample(a, block_size: int):
+    """Mean-pool over ``block_size`` x ``block_size`` tiles.
+
+    The reference applies this to all three bands including luma
+    (pipeline/subsampling.py:9-11).  Output is floating point (mean).
+    """
+    _check_2d(a)
+    h, w = a.shape
+    if h % block_size or w % block_size:
+        a = pad_edge(a, block_size)
+        h, w = a.shape
+    dtype = jnp.result_type(a.dtype, jnp.float32)
+    a = a.reshape(h // block_size, block_size, w // block_size, block_size)
+    return jnp.mean(a.astype(dtype), axis=(1, 3))
+
+
+def inflate(a, factor: int):
+    """Nearest-neighbour upsample; inverse of :func:`subsample`
+    (reference util.py:6-14)."""
+    return jnp.repeat(jnp.repeat(a, factor, axis=0), factor, axis=1)
+
+
+def blockify(a, block_size: int):
+    """(H, W) -> (H//b, W//b, b, b) without data-dependent loops
+    (replaces reference util.py:55-89)."""
+    _check_2d(a)
+    h, w = a.shape
+    if h % block_size or w % block_size:
+        a = pad_edge(a, block_size)
+        h, w = a.shape
+    nv, nh = h // block_size, w // block_size
+    return a.reshape(nv, block_size, nh, block_size).transpose(0, 2, 1, 3)
+
+
+def deblockify(blocks):
+    """(NV, NH, b, b) -> (NV*b, NH*b); inverse of :func:`blockify`."""
+    nv, nh, b, b2 = blocks.shape
+    assert b == b2
+    return blocks.transpose(0, 2, 1, 3).reshape(nv * b, nh * b)

@@ -1,0 +1,97 @@
+"""Quantizers as pure elementwise functions over zigzag-ordered coefficients.
+
+The reference applies quantizers blockwise on 2-D ``d x d`` blocks *before*
+the zigzag reorder (reference: pipeline/quantization.py, quantizers.py).  All
+four quantizers are elementwise (or a static per-position mask/table), so they
+commute with the zigzag permutation: we apply them *after* the fused
+DCT+zigzag matmul, using zigzag-permuted tables/masks.  XLA fuses this into
+the matmul epilogue, so it costs nothing.
+
+Semantics matched exactly:
+  * 'none'    round(a)                       (quantizers.py:4-9)
+  * 'discard' round(a), zero rows/cols>=keep (quantizers.py:12-20)
+  * 'divide'  round(a / float(divisor)); restore a * divisor
+              (quantizers.py:23-31)
+  * 'qtable'  round(a * (1.0/q)); restore round(a * q), 8x8 only
+              (quantizers.py:34-53)
+``round`` is round-half-to-even, matching ``np.round``.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import QuantizationMethod
+from .transform import zigzag_permutation
+
+#: Standard JPEG luminance quantization table hardcoded by the reference
+#: (quantizers.py:35-42).
+JPEG_QTABLE = np.array(
+    [[16, 11, 10, 16, 24, 40, 51, 61],
+     [12, 12, 14, 19, 26, 58, 60, 55],
+     [14, 13, 16, 24, 40, 57, 69, 56],
+     [14, 17, 22, 29, 51, 87, 80, 62],
+     [18, 22, 37, 56, 68, 109, 103, 77],
+     [24, 35, 55, 64, 81, 104, 113, 92],
+     [49, 64, 78, 87, 103, 121, 120, 101],
+     [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.float64)
+
+
+@functools.lru_cache(maxsize=None)
+def qtable_zigzag(n: int = 8) -> np.ndarray:
+    """JPEG table flattened in zigzag order (n must be 8)."""
+    assert n == 8
+    return JPEG_QTABLE.reshape(-1)[zigzag_permutation(n)]
+
+
+@functools.lru_cache(maxsize=None)
+def discard_mask_zigzag(n: int, keep: int) -> np.ndarray:
+    """1.0 where block row < keep and col < keep, else 0.0; zigzag order."""
+    rows = np.arange(n)[:, None]
+    cols = np.arange(n)[None, :]
+    mask = ((rows < keep) & (cols < keep)).astype(np.float64)
+    return mask.reshape(-1)[zigzag_permutation(n)]
+
+
+def quantize(coeffs_zz, method: QuantizationMethod, dct_size: int):
+    """Elementwise quantization of zigzag coefficients (float -> float)."""
+    name = method.name
+    if name == "none":
+        return jnp.round(coeffs_zz)
+    if name == "discard":
+        mask = jnp.asarray(discard_mask_zigzag(dct_size, method.keep),
+                           dtype=coeffs_zz.dtype)
+        return jnp.round(coeffs_zz) * mask
+    if name == "divide":
+        return jnp.round(coeffs_zz / jnp.asarray(float(method.divisor),
+                                                 dtype=coeffs_zz.dtype))
+    if name == "qtable":
+        inv_q = jnp.asarray(1.0 / qtable_zigzag(dct_size),
+                            dtype=coeffs_zz.dtype)
+        return jnp.round(coeffs_zz * inv_q)
+    raise ValueError(name)
+
+
+def dequantize(levels_zz, method: QuantizationMethod, dct_size: int):
+    """Inverse ('restore') step on integer levels; returns integer dtype.
+
+    The reference's decode path stores restored values back into an int array
+    (pipeline/quantization.py:20-30 with dtype from RLE decode), so non-int
+    results are truncated toward zero — reproduced here for float divisors.
+    """
+    name = method.name
+    if name in ("none", "discard"):
+        return levels_zz
+    if name == "divide":
+        d = method.divisor
+        if float(d) == int(d):
+            return levels_zz * jnp.asarray(int(d), dtype=levels_zz.dtype)
+        prod = levels_zz.astype(jnp.float64) * float(d)
+        return jnp.trunc(prod).astype(levels_zz.dtype)
+    if name == "qtable":
+        q = jnp.asarray(qtable_zigzag(dct_size).astype(np.int64),
+                        dtype=levels_zz.dtype)
+        return levels_zz * q
+    raise ValueError(name)
