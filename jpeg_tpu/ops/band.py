@@ -79,7 +79,10 @@ def _decode_fn(key: Tuple, dtype_name: str) -> Callable:
 
     @jax.jit
     def f(levels):
-        deq = Q.dequantize(levels.astype(jnp.int64), method, d)
+        # int64 only in x64/parity mode; int32 is ample on TPU (|level| <=
+        # 16383 and the largest qtable restore product is < 2**21).
+        itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        deq = Q.dequantize(levels.astype(itype), method, d)
         if transform == "DCT":
             pix = T.izigzag_idct2(deq.astype(dtype), d)
             blk = pix.reshape(nv, nh, d, d)
