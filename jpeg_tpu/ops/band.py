@@ -37,14 +37,13 @@ def _config_key(config: Configuration) -> Tuple:
             config.transform, q.name, tuple(sorted(q.params.items())))
 
 
-@functools.lru_cache(maxsize=None)
-def _encode_fn(key: Tuple, dtype_name: str) -> Callable:
+def make_encode(key: Tuple, dtype_name: str) -> Callable:
+    """Pure (unjitted) band -> levels function for a static config key."""
     h, w, bs, d, transform, qname, qparams = key
     method = QuantizationMethod(qname, **dict(qparams))
     dtype = jnp.dtype(dtype_name)
     L = d * d
 
-    @jax.jit
     def f(band):
         a = band
         if bs > 1:                      # Padding step skips when block_size==1
@@ -67,7 +66,12 @@ def _encode_fn(key: Tuple, dtype_name: str) -> Callable:
 
 
 @functools.lru_cache(maxsize=None)
-def _decode_fn(key: Tuple, dtype_name: str) -> Callable:
+def _encode_fn(key: Tuple, dtype_name: str) -> Callable:
+    return jax.jit(make_encode(key, dtype_name))
+
+
+def make_decode(key: Tuple, dtype_name: str) -> Callable:
+    """Pure (unjitted) levels -> band function for a static config key."""
     h, w, bs, d, transform, qname, qparams = key
     method = QuantizationMethod(qname, **dict(qparams))
     dtype = jnp.dtype(dtype_name)
@@ -77,7 +81,6 @@ def _decode_fn(key: Tuple, dtype_name: str) -> Callable:
     nv, nh = cfg.blocks_high, cfg.blocks_wide
     L = d * d
 
-    @jax.jit
     def f(levels):
         # int64 only in x64/parity mode; int32 is ample on TPU (|level| <=
         # 16383 and the largest qtable restore product is < 2**21).
@@ -99,6 +102,16 @@ def _decode_fn(key: Tuple, dtype_name: str) -> Callable:
         return B.crop(plane, h, w)
 
     return f
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_fn(key: Tuple, dtype_name: str) -> Callable:
+    return jax.jit(make_decode(key, dtype_name))
+
+
+def config_key(config: Configuration) -> Tuple:
+    """Public alias of the static config signature used for fn caching."""
+    return _config_key(config)
 
 
 def encode_band_levels(band, config: Configuration, dtype=None) -> jax.Array:

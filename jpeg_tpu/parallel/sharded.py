@@ -1,0 +1,176 @@
+"""Sharded encode/decode: batch data-parallelism and row-band tiling.
+
+The reference processes one band of one image at a time in pure Python
+(reference: pipeline/__init__.py:102-110).  Here the whole coefficient path
+(pad -> subsample -> DCT+zigzag matmul -> quantize) runs as ONE jitted
+program over a :class:`jax.sharding.Mesh`:
+
+* ``data`` axis: a batch of images/bands, embarrassingly parallel.
+* ``band`` axis: image rows.  DCT blocks never couple across rows, so GSPMD
+  needs at most an edge-halo exchange at pad seams; everything else is local.
+
+Entropy coding stays host-side (variable-length bit packing) but is
+*seam-parallel*: every block's bitstream is byte-aligned (reference:
+rle_byte_stream.py:54-56), so per-row-band streams encoded independently
+concatenate into exactly the single-stream bytes.  That concatenation is the
+distributed "bitstream stitch": on a multi-host slice each host encodes its
+local block rows and an all-gather of byte lengths fixes the offsets.
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import container, entropy
+from ..config import Configuration
+from ..container import CompressedData
+from ..ops import band as band_ops
+from . import mesh as mesh_lib
+from . import stats
+
+_BATCH_FNS: Dict[Tuple, object] = {}
+_PLANE_FNS: Dict[Tuple, object] = {}
+
+
+def _batch_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple):
+    """Jitted (B, H, W) -> ((B, N, L) levels, total payload bytes)."""
+    cache_key = (key, dtype_name, mesh, shape)
+    fn = _BATCH_FNS.get(cache_key)
+    if fn is None:
+        encode_one = band_ops.make_encode(key, dtype_name)
+
+        def step(bands):
+            levels = jax.vmap(encode_one)(bands)
+            # Global reduction over all shards -> XLA all-reduce on the mesh.
+            return levels, stats.total_bytes(levels)
+
+        fn = jax.jit(step, in_shardings=mesh_lib.batch_sharding(mesh, shape))
+        _BATCH_FNS[cache_key] = fn
+    return fn
+
+
+def _plane_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple):
+    """Jitted (H, W) -> (N, L) levels with rows sharded over all devices."""
+    cache_key = (key, dtype_name, mesh, shape)
+    fn = _PLANE_FNS.get(cache_key)
+    if fn is None:
+        encode_one = band_ops.make_encode(key, dtype_name)
+        fn = jax.jit(encode_one,
+                     in_shardings=mesh_lib.plane_sharding(mesh, shape))
+        _PLANE_FNS[cache_key] = fn
+    return fn
+
+
+def encode_batch_levels(bands, config: Configuration, mesh,
+                        dtype=None) -> Tuple[np.ndarray, int]:
+    """Batch-of-bands coefficient path on the mesh.
+
+    Args:
+      bands: (B, H, W) integer array of same-size image bands.
+    Returns:
+      ((B, num_blocks, L) int32 levels, exact total payload bytes).
+    """
+    bands = jnp.asarray(bands)
+    dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
+    fn = _batch_encode_fn(band_ops.config_key(config), dt.name, mesh,
+                          tuple(bands.shape))
+    levels, nbytes = fn(bands)
+    return np.asarray(levels), int(nbytes)
+
+
+def stitch_streams(parts: Sequence[bytes]) -> bytes:
+    """Concatenate per-shard byte-aligned streams into the canonical stream."""
+    return b"".join(parts)
+
+
+def _encode_levels_parts(levels: np.ndarray, n_parts: int,
+                         rows_per_part: int) -> bytes:
+    """Entropy-encode (N, L) levels as row-band parts in parallel threads.
+
+    ``levels`` rows are blocks in row-major block order; a part is a
+    contiguous run of whole block-rows, so each part's stream starts
+    byte-aligned and the concatenation is bit-identical to one-shot encode.
+    """
+    n_blocks = levels.shape[0]
+    bounds = [min(i * rows_per_part, n_blocks) for i in range(n_parts + 1)]
+    chunks = [levels[bounds[i]:bounds[i + 1]] for i in range(n_parts)]
+    chunks = [c for c in chunks if c.shape[0]]
+    if len(chunks) <= 1:
+        return entropy.encode_levels(levels)
+    with ThreadPoolExecutor(max_workers=len(chunks)) as pool:
+        parts = list(pool.map(entropy.encode_levels, chunks))
+    return stitch_streams(parts)
+
+
+def compress_plane(plane, config: Configuration, mesh, dtype=None) -> bytes:
+    """Row-band-tiled single-plane compress; bytes == single-device bytes."""
+    plane = jnp.asarray(plane)
+    dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
+    fn = _plane_encode_fn(band_ops.config_key(config), dt.name, mesh,
+                          tuple(plane.shape))
+    levels = np.asarray(fn(plane))
+    n_shards = mesh.devices.size
+    rows_per_shard = -(-config.blocks_high // n_shards)
+    return _encode_levels_parts(levels, n_shards,
+                                rows_per_shard * config.blocks_wide)
+
+
+def compress_batch(images, config: Configuration, mesh,
+                   dtype=None) -> List[bytes]:
+    """(B, H, W, 3) uint8 YCbCr batch -> list of B container blobs.
+
+    The coefficient path for all B*3 bands runs as one sharded program; the
+    per-band entropy encodes run on a host thread pool (the C++ codec
+    releases the GIL during the ctypes call).
+    """
+    images = np.asarray(images)
+    if images.ndim != 4 or images.shape[3] != 3:
+        raise ValueError(f"expected (B, H, W, 3) batch, got {images.shape}")
+    b = images.shape[0]
+    bands = images.transpose(0, 3, 1, 2).reshape(
+        b * 3, images.shape[1], images.shape[2])
+    levels, _ = encode_batch_levels(bands, config, mesh, dtype=dtype)
+    with ThreadPoolExecutor(max_workers=min(16, max(1, b * 3))) as pool:
+        streams = list(pool.map(entropy.encode_levels, list(levels)))
+    out = []
+    for i in range(b):
+        data = CompressedData(streams[3 * i], streams[3 * i + 1],
+                              streams[3 * i + 2])
+        out.append(container.generate_data(config, data))
+    return out
+
+
+def decompress_batch(blobs: Sequence[bytes], mesh, dtype=None) -> np.ndarray:
+    """List of container blobs (same config) -> (B, H, W, 3) uint8 batch."""
+    configs_and_data = [container.read_data(b) for b in blobs]
+    config = configs_and_data[0][0]
+    L = config.dct_size ** 2
+    nb = config.num_blocks
+    flat_streams = []
+    for cfg, data in configs_and_data:
+        if band_ops.config_key(cfg) != band_ops.config_key(config):
+            raise ValueError("decompress_batch requires a homogeneous batch")
+        flat_streams.extend([data.y, data.cb, data.cr])
+    with ThreadPoolExecutor(max_workers=min(16, len(flat_streams))) as pool:
+        levels = list(pool.map(
+            lambda s: entropy.decode_levels(s, nb, L), flat_streams))
+    levels = np.stack(levels)  # (B*3, N, L)
+
+    dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
+    key = band_ops.config_key(config)
+    cache_key = ("dec", key, dt.name, mesh, levels.shape)
+    fn = _BATCH_FNS.get(cache_key)
+    if fn is None:
+        decode_one = band_ops.make_decode(key, dt.name)
+        fn = jax.jit(jax.vmap(decode_one),
+                     in_shardings=mesh_lib.levels_sharding(
+                         mesh, levels.shape))
+        _BATCH_FNS[cache_key] = fn
+    planes = np.asarray(fn(jnp.asarray(levels)))  # (B*3, H, W)
+    b = len(blobs)
+    return planes.reshape(b, 3, config.height, config.width).transpose(
+        0, 2, 3, 1).astype(np.uint8)

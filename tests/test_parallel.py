@@ -1,0 +1,135 @@
+"""Sharded-path tests on the 8-device virtual CPU mesh.
+
+Validates that mesh-sharded execution is bit-identical to the single-device
+path (the codec's determinism/"race" test, SURVEY.md §5), that the row-band
+bitstream stitch reproduces the serial stream byte-for-byte, and that the
+device-side size estimator matches the real entropy coder exactly.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from jpeg_tpu import (Configuration, QuantizationMethod, compress_ycbcr,
+                      decompress_to_ycbcr, parallel)
+from jpeg_tpu import entropy
+from jpeg_tpu.ops.band import encode_band_levels
+
+RNG = np.random.default_rng(42)
+
+
+def _cfg(w, h, **kw):
+    kw.setdefault("quantization", QuantizationMethod("qtable"))
+    return Configuration(width=w, height=h, **kw)
+
+
+def test_factorize():
+    assert parallel.factorize(8) == (1, 8)
+    assert parallel.factorize(4) == (1, 4)
+    assert parallel.factorize(2) == (1, 2)
+    assert parallel.factorize(1) == (1, 1)
+    assert parallel.factorize(6) == (3, 2)
+    assert parallel.factorize(12, max_band=4) == (3, 4)
+
+
+def test_make_mesh_axes():
+    mesh = parallel.make_mesh(8)
+    assert mesh.axis_names == ("data", "band")
+    assert mesh.devices.size == 8
+    mesh2 = parallel.make_mesh(data=2, band=4)
+    assert mesh2.devices.shape == (2, 4)
+
+
+def test_batch_encode_matches_single_device():
+    cfg = _cfg(48, 40, block_size=2)
+    mesh = parallel.make_mesh(8)
+    bands = RNG.integers(0, 256, (4, 40, 48), dtype=np.int32)
+    levels, nbytes = parallel.encode_batch_levels(bands, cfg, mesh)
+    for i in range(4):
+        ref = np.asarray(encode_band_levels(bands[i], cfg))
+        np.testing.assert_array_equal(levels[i], ref)
+    # Device-side size == sum of real per-band stream lengths.
+    expect = sum(len(entropy.encode_levels(levels[i])) for i in range(4))
+    assert nbytes == expect
+
+
+def test_block_bytes_match_entropy_coder():
+    cfg = _cfg(64, 64, block_size=1, quantization=QuantizationMethod("none"))
+    band = RNG.integers(0, 256, (64, 64), dtype=np.int32)
+    levels = np.asarray(encode_band_levels(band, cfg))
+    got = np.asarray(parallel.block_bytes(jnp.asarray(levels)))
+    for i in range(levels.shape[0]):
+        assert got[i] == len(entropy.encode_levels(levels[i:i + 1])), i
+
+
+def test_block_bytes_edge_cases():
+    # all-zero block = 1 EOB byte; long zero runs; negative amps; amp=16383
+    rows = np.zeros((4, 64), dtype=np.int32)
+    rows[1, 0] = -5
+    rows[2, 63] = 1          # 63 zeros: 4 chains + code
+    rows[3, 0] = 16383       # size 15
+    got = np.asarray(parallel.block_bytes(jnp.asarray(rows)))
+    for i in range(4):
+        assert got[i] == len(entropy.encode_levels(rows[i:i + 1])), i
+
+
+def test_rowband_stitch_bit_identical():
+    cfg = _cfg(40, 8 * 2 * 8, block_size=2)  # 8 block-rows -> one per shard
+    mesh = parallel.make_mesh(8)
+    plane = RNG.integers(0, 256, (cfg.height, cfg.width), dtype=np.int32)
+    sharded = parallel.compress_plane(plane, cfg, mesh)
+    serial = entropy.encode_levels(np.asarray(encode_band_levels(plane, cfg)))
+    assert sharded == serial
+
+
+def test_rowband_stitch_uneven_rows():
+    # 5 block-rows across 8 shards: some shards empty, bounds clamp.
+    cfg = _cfg(24, 5 * 2 * 8, block_size=2)
+    mesh = parallel.make_mesh(8)
+    plane = RNG.integers(0, 256, (cfg.height, cfg.width), dtype=np.int32)
+    sharded = parallel.compress_plane(plane, cfg, mesh)
+    serial = entropy.encode_levels(np.asarray(encode_band_levels(plane, cfg)))
+    assert sharded == serial
+
+
+def test_compress_batch_roundtrip_matches_api():
+    cfg = _cfg(32, 24, block_size=2)
+    mesh = parallel.make_mesh(8)
+    imgs = RNG.integers(0, 256, (3, 24, 32, 3), dtype=np.uint8)
+    blobs = parallel.compress_batch(imgs, cfg, mesh)
+    for i in range(3):
+        assert blobs[i] == compress_ycbcr(imgs[i], cfg)
+    recon = parallel.decompress_batch(blobs, mesh)
+    assert recon.shape == imgs.shape
+    for i in range(3):
+        np.testing.assert_array_equal(recon[i],
+                                      np.asarray(decompress_to_ycbcr(blobs[i])))
+
+
+def test_compress_batch_rejects_bad_shape():
+    mesh = parallel.make_mesh(8)
+    cfg = _cfg(8, 8)
+    with pytest.raises(ValueError):
+        parallel.compress_batch(np.zeros((2, 8, 8), np.uint8), cfg, mesh)
+
+
+def test_graft_entry_single():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_graft", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (32 * 32, 64)
+    assert out.dtype == jnp.int32
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_graft", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+    mod.dryrun_multichip(2)
