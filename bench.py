@@ -1,0 +1,103 @@
+"""Benchmark: end-to-end encode throughput vs the pure-Python reference.
+
+Prints ONE JSON line:
+  {"metric": "encode_throughput", "value": <MP/s>, "unit": "megapixels/s",
+   "vs_baseline": <speedup over the reference encoder on this host>}
+
+Methodology
+-----------
+* Workload: full image compress (device coefficient path for all 3 YCbCr
+  bands + host entropy coding + container pack) at the north-star config
+  (dct_size=8, qtable quantizer, block_size=2) on a 2048x2048 RGB image.
+  Throughput counts *image* pixels (H*W), i.e. one unit of work = 3 bands,
+  matching how a user experiences "compress this image".
+* Baseline: the reference implementation's ``compress_band`` measured live
+  from /root/reference on a small band (its per-pixel cost is size-
+  independent: serial Python loops), converted to image pixels (/3).  If the
+  reference isn't present, a recorded measurement from this host is used
+  (see _RECORDED_BASELINE below).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Band MP/s of the reference measured on this container's CPU
+# (48x64 qtable/DCT/bs=2 band, 20 s of repetitions, 2026-08-16).
+_RECORDED_BASELINE_BAND_MPS = 0.2299
+
+IMG_H = int(os.environ.get("BENCH_H", 2048))
+IMG_W = int(os.environ.get("BENCH_W", 2048))
+REPS = int(os.environ.get("BENCH_REPS", 5))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_reference_band_mps(budget_s: float = 6.0) -> float:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    try:
+        import reference_oracle
+        if not reference_oracle.available():
+            raise RuntimeError("no reference")
+        ref = reference_oracle.load()
+        P = ref.pipeline
+        cfg = P.Configuration(width=64, height=48, block_size=2, dct_size=8,
+                              transform="DCT",
+                              quantization=P.QuantizationMethod("qtable"))
+        band = np.random.default_rng(0).integers(0, 256, (48, 64)).astype(int)
+        P.compress_band(band, cfg)  # warm
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < budget_s:
+            P.compress_band(band, cfg)
+            n += 1
+        dt = (time.perf_counter() - t0) / n
+        return 48 * 64 / dt / 1e6
+    except Exception as e:  # noqa: BLE001
+        log(f"reference measurement unavailable ({e}); using recorded baseline")
+        return _RECORDED_BASELINE_BAND_MPS
+
+
+def main() -> None:
+    from jpeg_tpu import Configuration, QuantizationMethod, compress_ycbcr
+
+    cfg = Configuration(width=IMG_W, height=IMG_H, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (IMG_H, IMG_W, 3), dtype=np.uint8)
+
+    log(f"warmup compile ({IMG_H}x{IMG_W})...")
+    blob = compress_ycbcr(img, cfg)
+    log(f"compressed {IMG_H * IMG_W * 3} -> {len(blob)} bytes "
+        f"({IMG_H * IMG_W * 3 / len(blob):.2f}x)")
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        compress_ycbcr(img, cfg)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    mps = IMG_H * IMG_W / dt / 1e6
+    log(f"encode: {dt * 1e3:.1f} ms best-of-{REPS} -> {mps:.1f} MP/s")
+
+    base_band = measure_reference_band_mps()
+    base_img = base_band / 3.0  # reference does 3 serial band passes per image
+    log(f"reference baseline: {base_band:.4f} band MP/s "
+        f"-> {base_img:.4f} image MP/s")
+
+    print(json.dumps({
+        "metric": "encode_throughput",
+        "value": round(mps, 2),
+        "unit": "megapixels/s",
+        "vs_baseline": round(mps / base_img, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,13 +8,17 @@ arrays.
 """
 from __future__ import annotations
 
+import functools
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
+import jax
 import numpy as np
 
 from . import container, entropy
 from .config import Configuration, QuantizationMethod  # re-export
 from .container import CompressedData
+from .ops import band as _band
 from .ops.band import decode_band_levels, encode_band_levels
 
 
@@ -31,6 +35,27 @@ def decompress_band(data: bytes, config: Configuration, dtype=None) -> np.ndarra
     return np.asarray(decode_band_levels(levels, config, dtype=dtype))
 
 
+@functools.lru_cache(maxsize=None)
+def _encode3_fn(key, dtype_name: str, use_pallas: bool):
+    """One jitted call transforming all 3 bands: (3, H, W) -> (3, N, L).
+
+    A single device launch + a single device->host pull per image instead of
+    three — launch latency and transfer setup dominate small/medium images.
+    """
+    return jax.jit(jax.vmap(_band.make_encode(key, dtype_name, use_pallas)))
+
+
+@functools.lru_cache(maxsize=None)
+def _decode3_fn(key, dtype_name: str, use_pallas: bool):
+    return jax.jit(jax.vmap(_band.make_decode(key, dtype_name, use_pallas)))
+
+
+def _dt_and_pallas(config: Configuration, dtype):
+    dt = np.dtype(dtype if dtype is not None else _band.default_dtype())
+    pal = dt == np.float32 and _band.use_pallas_default(config.transform)
+    return dt, pal
+
+
 def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
                    dtype=None) -> bytes:
     """(H, W, 3) uint8 YCbCr image -> container bytes.
@@ -41,17 +66,26 @@ def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
     ycbcr = np.asarray(ycbcr)
     if ycbcr.ndim != 3 or ycbcr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) YCbCr array, got {ycbcr.shape}")
-    bands = [compress_band(ycbcr[:, :, i], config, dtype=dtype)
-             for i in range(3)]
+    dt, pal = _dt_and_pallas(config, dtype)
+    fn = _encode3_fn(_band.config_key(config), dt.name, pal)
+    levels = np.asarray(fn(np.ascontiguousarray(ycbcr.transpose(2, 0, 1))))
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        bands = list(pool.map(entropy.encode_levels, list(levels)))
     return container.generate_data(config, CompressedData(*bands))
 
 
 def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
     """Container bytes -> (H, W, 3) uint8 YCbCr image."""
     config, data = container.read_data(bytestream)
-    planes = [decompress_band(b, config, dtype=dtype)
-              for b in (data.y, data.cb, data.cr)]
-    return np.dstack(planes).astype(np.uint8)
+    nb, L = config.num_blocks, config.dct_size ** 2
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        levels = list(pool.map(
+            lambda s: entropy.decode_levels(s, nb, L),
+            (data.y, data.cb, data.cr)))
+    dt, pal = _dt_and_pallas(config, dtype)
+    fn = _decode3_fn(_band.config_key(config), dt.name, pal)
+    planes = np.asarray(fn(np.stack(levels)))
+    return planes.transpose(1, 2, 0).astype(np.uint8)
 
 
 class Jpeg:

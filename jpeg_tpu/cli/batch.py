@@ -1,0 +1,148 @@
+"""Batch driver: compress/decompress a directory of images with metrics.
+
+The reference has no batch mode, no failure handling and no observability
+(SURVEY.md §5).  This driver adds the minimum production surface:
+
+* **Resume**: an image whose output file already exists is skipped, so an
+  interrupted job re-run picks up where it left off.
+* **Failure detection**: unreadable/corrupt inputs are skipped and reported
+  (exit code 1 if anything failed) instead of aborting the whole job.
+* **Metrics**: one JSON line per run — megapixels/s, compressed bytes,
+  compression ratio, failures, optional mean PSNR (with --verify the driver
+  decodes each output and scores it against the input).
+* **Grouped dispatch**: same-size images are batched through the sharded
+  mesh path (jpeg_tpu.parallel) so the device sees large block batches.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..api import compress_ycbcr, decompress_to_ycbcr, psnr
+from ..config import Configuration
+from ..utils.profiling import Metrics
+from .compress import quantization_from_args
+
+IMAGE_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".gif", ".tiff", ".webp"}
+
+
+def _load_ycbcr(path: str) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("YCbCr"))
+
+
+def _group_by_size(paths: List[str]) -> Tuple[Dict[Tuple[int, int], List[str]],
+                                              Dict[str, str]]:
+    """Probe image headers; group readable files by (H, W)."""
+    from PIL import Image
+    groups: Dict[Tuple[int, int], List[str]] = {}
+    errors: Dict[str, str] = {}
+    for p in paths:
+        try:
+            with Image.open(p) as im:
+                key = (im.height, im.width)
+        except Exception as e:  # noqa: BLE001
+            errors[p] = f"unreadable: {e}"
+            continue
+        groups.setdefault(key, []).append(p)
+    return groups, errors
+
+
+def run(indir: str, outdir: str, args, mesh=None) -> Metrics:
+    os.makedirs(outdir, exist_ok=True)
+    paths = sorted(
+        os.path.join(indir, f) for f in os.listdir(indir)
+        if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
+    metrics = Metrics()
+    quant = quantization_from_args(args)
+
+    groups, errors = _group_by_size(paths)
+    for p, why in errors.items():
+        print(f"SKIP {p}: {why}", file=sys.stderr)
+        metrics.failures += 1
+
+    for (h, w), members in sorted(groups.items()):
+        config = Configuration(width=w, height=h, block_size=args.block_size,
+                               dct_size=args.dct_size,
+                               transform=args.transform, quantization=quant)
+        pending = []
+        for p in members:
+            out = os.path.join(
+                outdir, os.path.splitext(os.path.basename(p))[0] + ".jc")
+            if os.path.exists(out) and not args.force:
+                print(f"RESUME-SKIP {out} exists", file=sys.stderr)
+                continue
+            pending.append((p, out))
+        if not pending:
+            continue
+
+        arrays, items = [], []
+        for p, out in pending:
+            try:
+                arrays.append(_load_ycbcr(p))
+                items.append((p, out))
+            except Exception as e:  # noqa: BLE001
+                print(f"SKIP {p}: decode failed: {e}", file=sys.stderr)
+                metrics.failures += 1
+
+        t0 = time.perf_counter()
+        if mesh is not None and len(arrays) > 1:
+            from .. import parallel
+            blobs = parallel.compress_batch(
+                np.stack(arrays), config, mesh)
+        else:
+            blobs = [compress_ycbcr(a, config) for a in arrays]
+        dt = time.perf_counter() - t0
+
+        for (p, out), arr, blob in zip(items, arrays, blobs):
+            with open(out, "wb") as f:
+                f.write(blob)
+            q = None
+            if args.verify:
+                q = psnr(arr, decompress_to_ycbcr(blob))
+            metrics.add_image(h, w, len(blob), dt / max(1, len(items)), q)
+            if args.verbose:
+                print(f"OK {p} -> {out} ({len(blob)} bytes)", file=sys.stderr)
+    return metrics
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Batch-compress a directory of images (resumable)")
+    p.add_argument("indir")
+    p.add_argument("outdir")
+    p.add_argument("--block_size", type=int, default=4)
+    p.add_argument("--dct_size", type=int, default=8)
+    p.add_argument("--transform", type=str, default="DCT")
+    p.add_argument("--quantization", type=str, default="qtable")
+    p.add_argument("--qkeep", type=int, default=2)
+    p.add_argument("--qdivisor", type=int, default=40)
+    p.add_argument("--force", action="store_true",
+                   help="recompress even if output exists")
+    p.add_argument("--verify", action="store_true",
+                   help="decode each output and report PSNR")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="batch same-size images through the device mesh")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    mesh = None
+    if args.mesh:
+        from .. import parallel
+        mesh = parallel.make_mesh()
+    metrics = run(args.indir, args.outdir, args, mesh=mesh)
+    print(metrics.json_line())
+    return 1 if metrics.failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

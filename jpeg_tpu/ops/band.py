@@ -24,6 +24,20 @@ from ..config import Configuration, QuantizationMethod
 from . import blocks as B
 from . import quantize as Q
 from . import transform as T
+from . import pallas_kernels as PK
+
+
+def use_pallas_default(transform: str = "DCT") -> bool:
+    """Fast path: Mosaic kernels when running on a real TPU backend in f32.
+
+    Parity (x64) mode and non-TPU backends use the XLA path; DFT mode has no
+    Pallas kernel (fft).  Env override: JPEG_TPU_NO_PALLAS=1 disables.
+    """
+    import os
+    if os.environ.get("JPEG_TPU_NO_PALLAS"):
+        return False
+    return (transform == "DCT" and not jax.config.jax_enable_x64
+            and jax.default_backend() == "tpu")
 
 
 def default_dtype():
@@ -37,12 +51,17 @@ def _config_key(config: Configuration) -> Tuple:
             config.transform, q.name, tuple(sorted(q.params.items())))
 
 
-def make_encode(key: Tuple, dtype_name: str) -> Callable:
+def make_encode(key: Tuple, dtype_name: str,
+                use_pallas: bool = False) -> Callable:
     """Pure (unjitted) band -> levels function for a static config key."""
     h, w, bs, d, transform, qname, qparams = key
     method = QuantizationMethod(qname, **dict(qparams))
     dtype = jnp.dtype(dtype_name)
     L = d * d
+    use_pallas = use_pallas and transform == "DCT"
+    if use_pallas:
+        op_t = T.encode_operator(d).T.copy()
+        mul_v, div_v, mask_v = Q.epilogue_vectors(method, d)
 
     def f(band):
         a = band
@@ -52,11 +71,26 @@ def make_encode(key: Tuple, dtype_name: str) -> Callable:
         sub = B.pad_edge(sub, d)
         blk = B.blockify(sub, d)        # (NV, NH, d, d)
         nv, nh = blk.shape[:2]
+        parity = dtype == jnp.float64
         if transform == "DCT":
-            vecs = blk.reshape(nv * nh, L)
-            coeffs = T.dct2_zigzag(vecs, d)
+            if parity:
+                # x64 oracle mode: reference-evaluation-order host transform
+                # for deterministic ULP parity (see ops/transform.py).
+                coeffs = T.exact_dct2_zigzag(blk, d).reshape(nv * nh, L)
+            else:
+                vecs = blk.reshape(nv * nh, L)
+                if use_pallas:
+                    return PK.encode_blocks(
+                        vecs, jnp.asarray(op_t, jnp.float32),
+                        jnp.asarray(mul_v), jnp.asarray(div_v),
+                        jnp.asarray(mask_v))
+                coeffs = T.dct2_zigzag(vecs, d)
         elif transform == "DFT":
-            coeffs = T.dft2_real_zigzag(blk.reshape(nv * nh, d, d), d)
+            blocks3 = blk.reshape(nv * nh, d, d)
+            if parity:
+                coeffs = T.exact_dft2_real_zigzag(blocks3, d)
+            else:
+                coeffs = T.dft2_real_zigzag(blocks3, d)
         else:
             raise ValueError(f"unknown transform {transform!r}")
         levels = Q.quantize(coeffs, method, d)
@@ -66,11 +100,13 @@ def make_encode(key: Tuple, dtype_name: str) -> Callable:
 
 
 @functools.lru_cache(maxsize=None)
-def _encode_fn(key: Tuple, dtype_name: str) -> Callable:
-    return jax.jit(make_encode(key, dtype_name))
+def _encode_fn(key: Tuple, dtype_name: str,
+               use_pallas: bool = False) -> Callable:
+    return jax.jit(make_encode(key, dtype_name, use_pallas))
 
 
-def make_decode(key: Tuple, dtype_name: str) -> Callable:
+def make_decode(key: Tuple, dtype_name: str,
+                use_pallas: bool = False) -> Callable:
     """Pure (unjitted) levels -> band function for a static config key."""
     h, w, bs, d, transform, qname, qparams = key
     method = QuantizationMethod(qname, **dict(qparams))
@@ -80,17 +116,37 @@ def make_decode(key: Tuple, dtype_name: str) -> Callable:
                         quantization=QuantizationMethod(qname, **dict(qparams)))
     nv, nh = cfg.blocks_high, cfg.blocks_wide
     L = d * d
+    deq_v = Q.dequant_int_vector(method, d)
+    use_pallas = use_pallas and transform == "DCT" and deq_v is not None
+    if use_pallas:
+        w_t = T.decode_operator(d).T.copy()
 
     def f(levels):
+        if use_pallas:
+            pix = PK.decode_blocks(levels.astype(jnp.int32),
+                                   jnp.asarray(w_t, jnp.float32),
+                                   jnp.asarray(deq_v))
+            plane = B.deblockify(pix.reshape(nv, nh, d, d))
+            plane = B.crop(plane, cfg.subsampled_height, cfg.subsampled_width)
+            plane = B.inflate(plane, bs)
+            return B.crop(plane, h, w)
         # int64 only in x64/parity mode; int32 is ample on TPU (|level| <=
         # 16383 and the largest qtable restore product is < 2**21).
         itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
         deq = Q.dequantize(levels.astype(itype), method, d)
+        parity = dtype == jnp.float64
         if transform == "DCT":
-            pix = T.izigzag_idct2(deq.astype(dtype), d)
+            if parity:
+                pix = T.exact_izigzag_idct2(deq.astype(dtype), d)
+            else:
+                pix = T.izigzag_idct2(deq.astype(dtype), d)
             blk = pix.reshape(nv, nh, d, d)
         elif transform == "DFT":
-            blk = T.izigzag_idft2_real(deq.astype(dtype), d).reshape(nv, nh, d, d)
+            if parity:
+                blk = T.exact_izigzag_idft2_real(deq.astype(dtype), d)
+            else:
+                blk = T.izigzag_idft2_real(deq.astype(dtype), d)
+            blk = blk.reshape(nv, nh, d, d)
         else:
             raise ValueError(f"unknown transform {transform!r}")
         plane = B.deblockify(blk)
@@ -105,8 +161,9 @@ def make_decode(key: Tuple, dtype_name: str) -> Callable:
 
 
 @functools.lru_cache(maxsize=None)
-def _decode_fn(key: Tuple, dtype_name: str) -> Callable:
-    return jax.jit(make_decode(key, dtype_name))
+def _decode_fn(key: Tuple, dtype_name: str,
+               use_pallas: bool = False) -> Callable:
+    return jax.jit(make_decode(key, dtype_name, use_pallas))
 
 
 def config_key(config: Configuration) -> Tuple:
@@ -117,7 +174,8 @@ def config_key(config: Configuration) -> Tuple:
 def encode_band_levels(band, config: Configuration, dtype=None) -> jax.Array:
     """(H, W) integer band -> (num_blocks, d*d) int32 zigzag levels."""
     dt = np.dtype(dtype if dtype is not None else default_dtype())
-    return _encode_fn(_config_key(config), dt.name)(jnp.asarray(band))
+    pal = dt == np.float32 and use_pallas_default(config.transform)
+    return _encode_fn(_config_key(config), dt.name, pal)(jnp.asarray(band))
 
 
 def decode_band_levels(levels, config: Configuration, dtype=None) -> jax.Array:
@@ -127,4 +185,5 @@ def decode_band_levels(levels, config: Configuration, dtype=None) -> jax.Array:
     expected = (config.num_blocks, config.dct_size ** 2)
     if arr.shape != expected:
         raise ValueError(f"levels shape {arr.shape} != expected {expected}")
-    return _decode_fn(_config_key(config), dt.name)(arr)
+    pal = dt == np.float32 and use_pallas_default(config.transform)
+    return _decode_fn(_config_key(config), dt.name, pal)(arr)

@@ -74,6 +74,49 @@ def quantize(coeffs_zz, method: QuantizationMethod, dct_size: int):
     raise ValueError(name)
 
 
+def epilogue_vectors(method: QuantizationMethod, dct_size: int):
+    """(mul, div, mask) f64 vectors s.t. quantize == round(c*mul/div)*mask.
+
+    The factored elementwise form consumed by the Pallas encode kernel
+    (ops/pallas_kernels.py); exactly mirrors :func:`quantize`.
+    """
+    L = dct_size * dct_size
+    mul = np.ones(L)
+    div = np.ones(L)
+    mask = np.ones(L)
+    name = method.name
+    if name == "discard":
+        mask = discard_mask_zigzag(dct_size, method.keep)
+    elif name == "divide":
+        div = float(method.divisor) * mul
+    elif name == "qtable":
+        mul = 1.0 / qtable_zigzag(dct_size)
+    elif name != "none":
+        raise ValueError(name)
+    return mul, div, mask
+
+
+def dequant_int_vector(method: QuantizationMethod, dct_size: int):
+    """(L,) int64 multiplier with dequantize == levels * vec, or None.
+
+    None when the restore step is not an integer multiply (float divisor,
+    which truncates; see :func:`dequantize`) — callers fall back to the XLA
+    path.
+    """
+    L = dct_size * dct_size
+    name = method.name
+    if name in ("none", "discard"):
+        return np.ones(L, np.int64)
+    if name == "divide":
+        d = method.divisor
+        if float(d) == int(d):
+            return int(d) * np.ones(L, np.int64)
+        return None
+    if name == "qtable":
+        return qtable_zigzag(dct_size).astype(np.int64)
+    raise ValueError(name)
+
+
 def dequantize(levels_zz, method: QuantizationMethod, dct_size: int):
     """Inverse ('restore') step on integer levels; returns integer dtype.
 

@@ -144,6 +144,118 @@ def izigzag_idct2(coeffs_zz, n: int):
 # encode path only ever needs real(fft2(block)).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Parity-exact transforms (x64 oracle mode only).
+#
+# Rounded raw coefficients are not ULP-robust: for d=8 the k=4 DCT row is
+# +-cos(pi/4), so products make coefficients that are *exact* half-integers
+# (0.5 * integer); which side of the .5 boundary the computed f64 value lands
+# on depends on the accumulation order of the implementation.  A matmul
+# (any matmul) therefore cannot reproduce the reference's np.round results
+# bitwise.  In parity mode we instead evaluate the transform on the host with
+# the reference's exact expression tree — per-row 1-D matvecs, two passes
+# (reference: transforms.py:36-75) — via jax.pure_callback.  The f32 TPU
+# fast path never uses this.
+# ---------------------------------------------------------------------------
+
+def _ref_matrices(n: int):
+    a = dct_matrix(n)
+    # Row-normalized matrix: per-row scalar norms (transforms.py:14-20).
+    a_norm = a.copy()
+    for k in range(n):
+        a_norm[k] = a_norm[k] / np.linalg.norm(a_norm[k])
+    # Diagonal inverse-norm matrix built from the axis-norm (transforms.py:23-26).
+    dinv = np.diag(1.0 / np.linalg.norm(a, axis=1))
+    return a, a_norm.T, dinv
+
+
+def _host_dct2(blocks: np.ndarray, n: int) -> np.ndarray:
+    """(..., n, n) -> (..., n, n) forward DCT, reference evaluation order."""
+    a, _, _ = _ref_matrices(n)
+    flat = np.ascontiguousarray(blocks, dtype=np.float64).reshape(-1, n, n)
+    out = np.empty_like(flat)
+    for b in range(flat.shape[0]):
+        m = np.zeros((n, n))
+        for i in range(n):
+            m[i] = a.dot(flat[b][i])          # row pass (transforms.py:52-56)
+        mt = m.T
+        r = np.zeros((n, n))
+        for i in range(n):
+            r[i] = a.dot(mt[i])               # column pass (:58-59)
+        out[b] = r.T
+    return out.reshape(blocks.shape)
+
+
+def _host_idct2(coeffs: np.ndarray, n: int) -> np.ndarray:
+    """Inverse DCT, reference evaluation order (transforms.py:40-44, 61-68)."""
+    _, w, dinv = _ref_matrices(n)
+    flat = np.ascontiguousarray(coeffs, dtype=np.float64).reshape(-1, n, n)
+    out = np.empty_like(flat)
+    for b in range(flat.shape[0]):
+        at = flat[b].T
+        m = np.zeros((n, n))
+        for i in range(n):
+            m[i] = w.dot(dinv.dot(at[i]))     # column pass first
+        m = m.T
+        r = np.zeros((n, n))
+        for i in range(n):
+            r[i] = w.dot(dinv.dot(m[i]))      # then row pass
+        out[b] = r
+    return out.reshape(coeffs.shape)
+
+
+def _host_fft2_real(blocks: np.ndarray, n: int) -> np.ndarray:
+    flat = np.ascontiguousarray(blocks, dtype=np.float64).reshape(-1, n, n)
+    out = np.empty_like(flat)
+    for b in range(flat.shape[0]):            # per block like apply_blockwise
+        out[b] = np.fft.fft2(flat[b]).real
+    return out.reshape(blocks.shape)
+
+
+def _host_ifft2_real(coeffs: np.ndarray, n: int) -> np.ndarray:
+    flat = np.ascontiguousarray(coeffs, dtype=np.float64).reshape(-1, n, n)
+    out = np.empty_like(flat)
+    for b in range(flat.shape[0]):
+        out[b] = np.fft.ifft2(flat[b]).real
+    return out.reshape(coeffs.shape)
+
+
+def _callback(host_fn, blocks, n: int):
+    fn = functools.partial(host_fn, n=n)
+    return jax.pure_callback(
+        fn, jax.ShapeDtypeStruct(blocks.shape, jnp.float64),
+        blocks.astype(jnp.float64), vmap_method="expand_dims")
+
+
+def exact_dct2_zigzag(blocks, n: int):
+    """Parity-mode fused DCT+zigzag: (..., d, d) blocks -> (..., d*d)."""
+    coeffs = _callback(_host_dct2, blocks, n)
+    flat = coeffs.reshape(coeffs.shape[:-2] + (n * n,))
+    return jnp.take(flat, jnp.asarray(zigzag_permutation(n)), axis=-1)
+
+
+def exact_izigzag_idct2(coeffs_zz, n: int):
+    """Parity-mode dezigzag + inverse DCT: (..., d*d) -> (..., d*d)."""
+    flat = jnp.take(coeffs_zz, jnp.asarray(inverse_zigzag_permutation(n)),
+                    axis=-1)
+    blocks = flat.reshape(flat.shape[:-1] + (n, n))
+    out = _callback(_host_idct2, blocks, n)
+    return out.reshape(coeffs_zz.shape)
+
+
+def exact_dft2_real_zigzag(blocks, n: int):
+    coeffs = _callback(_host_fft2_real, blocks, n)
+    flat = coeffs.reshape(coeffs.shape[:-2] + (n * n,))
+    return jnp.take(flat, jnp.asarray(zigzag_permutation(n)), axis=-1)
+
+
+def exact_izigzag_idft2_real(coeffs_zz, n: int):
+    flat = jnp.take(coeffs_zz, jnp.asarray(inverse_zigzag_permutation(n)),
+                    axis=-1)
+    blocks = flat.reshape(flat.shape[:-1] + (n, n))
+    return _callback(_host_ifft2_real, blocks, n)
+
+
 def dft2_real_zigzag(blocks, n: int):
     """(..., d, d) pixel blocks -> (..., d*d) zigzag-ordered real(DFT2)."""
     coeffs = jnp.real(jnp.fft.fft2(blocks))

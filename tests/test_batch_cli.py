@@ -1,0 +1,102 @@
+"""Batch driver CLI: resume, skip-and-report, metrics, mesh dispatch."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from jpeg_tpu.cli import batch
+from jpeg_tpu.utils.profiling import Metrics, StageTimer
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+RNG = np.random.default_rng(3)
+
+
+def _write_png(path, h, w):
+    # Smooth gradient + low-frequency waves: realistic compressible content
+    # (pure noise would rightly score terrible PSNR after subsampling).
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.stack([128 + 60 * np.sin(x / 7.0),
+                    128 + 60 * np.cos(y / 9.0),
+                    (255.0 * (x + y)) / (h + w)], axis=-1)
+    arr = np.clip(arr, 0, 255).astype(np.uint8)
+    Image.fromarray(arr, "RGB").save(path)
+
+
+def _run(indir, outdir, *flags):
+    args = batch.build_parser().parse_args(
+        [str(indir), str(outdir), *flags])
+    mesh = None
+    if args.mesh:
+        from jpeg_tpu import parallel
+        mesh = parallel.make_mesh()
+    return batch.run(str(indir), str(outdir), args, mesh=mesh)
+
+
+def test_batch_roundtrip_and_metrics(tmp_path):
+    indir, outdir = tmp_path / "in", tmp_path / "out"
+    indir.mkdir()
+    for i, (h, w) in enumerate([(24, 32), (24, 32), (16, 16)]):
+        _write_png(indir / f"img{i}.png", h, w)
+    m = _run(indir, outdir, "--verify", "--block_size", "2")
+    assert m.images == 3 and m.failures == 0
+    assert m.compressed_bytes > 0 and m.seconds > 0
+    assert m.psnr_count == 3 and m.psnr_sum / 3 > 25
+    d = json.loads(m.json_line())
+    assert d["images"] == 3 and d["compression_ratio"] > 0
+    assert sorted(os.listdir(outdir)) == ["img0.jc", "img1.jc", "img2.jc"]
+
+
+def test_batch_resume_skips_existing(tmp_path):
+    indir, outdir = tmp_path / "in", tmp_path / "out"
+    indir.mkdir()
+    _write_png(indir / "a.png", 16, 16)
+    _write_png(indir / "b.png", 16, 16)
+    m1 = _run(indir, outdir, "--block_size", "2")
+    assert m1.images == 2
+    # Second run: both outputs exist -> nothing recompressed.
+    m2 = _run(indir, outdir, "--block_size", "2")
+    assert m2.images == 0 and m2.failures == 0
+    # --force recompresses.
+    m3 = _run(indir, outdir, "--block_size", "2", "--force")
+    assert m3.images == 2
+
+
+def test_batch_skips_corrupt_input(tmp_path):
+    indir, outdir = tmp_path / "in", tmp_path / "out"
+    indir.mkdir()
+    _write_png(indir / "good.png", 16, 16)
+    (indir / "bad.png").write_bytes(b"not a png at all")
+    m = _run(indir, outdir, "--block_size", "2")
+    assert m.images == 1 and m.failures == 1
+    assert os.listdir(outdir) == ["good.jc"]
+
+
+def test_batch_mesh_dispatch_matches_serial(tmp_path):
+    indir, out1, out2 = tmp_path / "in", tmp_path / "o1", tmp_path / "o2"
+    indir.mkdir()
+    for i in range(4):
+        _write_png(indir / f"img{i}.png", 24, 32)
+    _run(indir, out1, "--block_size", "2")
+    _run(indir, out2, "--block_size", "2", "--mesh")
+    for f in sorted(os.listdir(out1)):
+        assert (out1 / f).read_bytes() == (out2 / f).read_bytes()
+
+
+def test_stage_timer_and_metrics_report():
+    t = StageTimer()
+    with t.stage("x"):
+        pass
+    with t.stage("x"):
+        pass
+    assert t.counts["x"] == 2 and t.totals["x"] >= 0
+    assert "x" in str(t)
+
+    m = Metrics()
+    m.add_image(100, 100, 5000, 0.5, psnr=40.0)
+    d = m.to_dict()
+    assert d["compression_ratio"] == 6.0
+    assert d["mean_psnr_db"] == 40.0
+    assert abs(m.megapixels_per_s - 0.02) < 1e-9

@@ -1,0 +1,93 @@
+"""Pallas fused-kernel tests (interpreter mode on the CPU backend).
+
+The kernels must agree exactly (integer output) with the XLA f32 path for
+every quantizer, including the ragged final grid tile.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from jpeg_tpu.config import QuantizationMethod
+from jpeg_tpu.ops import pallas_kernels as PK
+from jpeg_tpu.ops import quantize as Q
+from jpeg_tpu.ops import transform as T
+
+RNG = np.random.default_rng(7)
+D = 8
+L = D * D
+
+
+def _epilogue_vectors(method: QuantizationMethod):
+    mul = np.ones(L)
+    div = np.ones(L)
+    mask = np.ones(L)
+    if method.name == "discard":
+        mask = Q.discard_mask_zigzag(D, method.keep)
+    elif method.name == "divide":
+        div = float(method.divisor) * np.ones(L)
+    elif method.name == "qtable":
+        mul = 1.0 / Q.qtable_zigzag(D)
+    return (jnp.asarray(mul), jnp.asarray(div), jnp.asarray(mask))
+
+
+def _deq_vector(method: QuantizationMethod):
+    if method.name == "qtable":
+        return jnp.asarray(Q.qtable_zigzag(D).astype(np.int64))
+    if method.name == "divide":
+        return jnp.asarray(int(method.divisor) * np.ones(L, np.int64))
+    return jnp.asarray(np.ones(L, np.int64))
+
+
+@pytest.mark.parametrize("method", [
+    QuantizationMethod("none"),
+    QuantizationMethod("discard", keep=3),
+    QuantizationMethod("divide", divisor=100),
+    QuantizationMethod("qtable"),
+], ids=lambda m: m.name)
+@pytest.mark.parametrize("n", [1, 7, PK.TILE, PK.TILE + 5])
+def test_encode_kernel_matches_xla(method, n):
+    blocks = RNG.integers(0, 256, (n, L)).astype(np.float32)
+    opt = jnp.asarray(T.encode_operator(D).T)
+
+    coeffs = T.dct2_zigzag(jnp.asarray(blocks, jnp.float32), D)
+    want = np.asarray(Q.quantize(coeffs, method, D)).astype(np.int32)
+
+    mul, div, mask = _epilogue_vectors(method)
+    got = PK.encode_blocks(jnp.asarray(blocks), opt, mul, div, mask,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("method", [
+    QuantizationMethod("none"),
+    QuantizationMethod("divide", divisor=40),
+    QuantizationMethod("qtable"),
+], ids=lambda m: m.name)
+def test_decode_kernel_matches_xla(method):
+    n = 33
+    blocks = RNG.integers(0, 256, (n, L)).astype(np.float32)
+    coeffs = T.dct2_zigzag(jnp.asarray(blocks, jnp.float32), D)
+    levels = np.asarray(Q.quantize(coeffs, method, D)).astype(np.int32)
+
+    deq = np.asarray(Q.dequantize(jnp.asarray(levels, jnp.int64), method, D))
+    pix = T.izigzag_idct2(jnp.asarray(deq, jnp.float32), D)
+    want = np.asarray(jnp.clip(jnp.round(pix), 0, 255)).astype(np.int32)
+
+    wt = jnp.asarray(T.decode_operator(D).T)
+    got = PK.decode_blocks(jnp.asarray(levels), wt, _deq_vector(method),
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_decode_roundtrip_quality():
+    # Encode+decode through the kernels alone reconstructs blocks closely.
+    n = 64
+    blocks = RNG.integers(0, 256, (n, L)).astype(np.float32)
+    method = QuantizationMethod("none")
+    opt = jnp.asarray(T.encode_operator(D).T)
+    wt = jnp.asarray(T.decode_operator(D).T)
+    mul, div, mask = _epilogue_vectors(method)
+    levels = PK.encode_blocks(jnp.asarray(blocks), opt, mul, div, mask,
+                              interpret=True)
+    recon = PK.decode_blocks(levels, wt, _deq_vector(method), interpret=True)
+    assert np.abs(np.asarray(recon) - blocks).max() <= 1.0

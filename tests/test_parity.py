@@ -6,6 +6,7 @@ bytes must equal its bytes exactly, and both decoders must produce identical
 integer planes from the same stream.
 """
 import warnings
+import zlib
 
 import numpy as np
 import pytest
@@ -56,7 +57,9 @@ def _pair(w, h, bs, d, tr, q):
 @pytest.mark.parametrize("w,h,bs,d,tr,q", CONFIGS)
 def test_band_encode_and_decode_bit_exact(w, h, bs, d, tr, q):
     ref, rcfg, ocfg = _pair(w, h, bs, d, tr, q)
-    rng = np.random.default_rng(hash((w, h, bs, d, tr)) % 2**32)
+    # NB: deterministic seed (Python's hash() is salted per process for str).
+    rng = np.random.default_rng(
+        zlib.crc32(repr((w, h, bs, d, tr)).encode()))
     a = rng.integers(0, 256, size=(h, w)).astype(np.int64)
 
     with warnings.catch_warnings():
@@ -111,6 +114,26 @@ def test_full_container_parity():
         ref_img = np.asarray(ref.pipeline.Jpeg.decompress(ref_blob))
         our_img = decompress_to_ycbcr(our_blob)
     assert np.array_equal(our_img, ref_img)
+
+
+@pytest.mark.parametrize("tr", ["DCT", "DFT"])
+def test_rounding_edge_stress(tr):
+    """Many random trials on the ULP-sensitive config: rounding quantizer on
+    raw coefficients, where d=8's k=4 row makes exact half-integer
+    coefficients.  The parity-exact transform path must match the reference
+    bitwise on every draw (the plain matmul path fails ~3% of blocks)."""
+    ref, rcfg, ocfg = _pair(16, 16, 1, 8, tr, None)
+    rng = np.random.default_rng(2026)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for _ in range(25):
+            a = rng.integers(0, 256, size=(16, 16)).astype(np.int64)
+            ref_bytes = ref.pipeline.compress_band(a.copy(), rcfg)
+            assert compress_band(a, ocfg) == ref_bytes
+            ref_plane = np.asarray(
+                ref.pipeline.decompress_band(ref_bytes, rcfg)).reshape(16, 16)
+            assert np.array_equal(
+                np.asarray(decompress_band(ref_bytes, ocfg)), ref_plane)
 
 
 def test_rle_tuple_parity():
