@@ -39,6 +39,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def synth_image(h: int, w: int, channels: int = 3) -> np.ndarray:
+    """Natural-image-like content: smooth structure + texture + mild noise.
+
+    Pure random noise is the worst case for any entropy coder and looks
+    nothing like the photographic inputs the codec targets; the same
+    generator feeds both our measurement and the reference baseline.
+    """
+    rng = np.random.default_rng(7)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    out = []
+    for c in range(channels):
+        plane = (128
+                 + 70 * np.sin(x / (17 + 6 * c)) * np.cos(y / (23 - 4 * c))
+                 + 30 * np.sin((x + y) / (9 + 2 * c))
+                 + 8 * rng.standard_normal((h, w)))
+        out.append(np.clip(plane, 0, 255))
+    return np.stack(out, axis=-1).astype(np.uint8)
+
+
 def measure_reference_band_mps(budget_s: float = 6.0) -> float:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     try:
@@ -50,7 +69,7 @@ def measure_reference_band_mps(budget_s: float = 6.0) -> float:
         cfg = P.Configuration(width=64, height=48, block_size=2, dct_size=8,
                               transform="DCT",
                               quantization=P.QuantizationMethod("qtable"))
-        band = np.random.default_rng(0).integers(0, 256, (48, 64)).astype(int)
+        band = synth_image(48, 64, channels=1)[:, :, 0].astype(int)
         P.compress_band(band, cfg)  # warm
         t0 = time.perf_counter()
         n = 0
@@ -69,8 +88,7 @@ def main() -> None:
 
     cfg = Configuration(width=IMG_W, height=IMG_H, block_size=2, dct_size=8,
                         quantization=QuantizationMethod("qtable"))
-    rng = np.random.default_rng(0)
-    img = rng.integers(0, 256, (IMG_H, IMG_W, 3), dtype=np.uint8)
+    img = synth_image(IMG_H, IMG_W)
 
     log(f"warmup compile ({IMG_H}x{IMG_W})...")
     blob = compress_ycbcr(img, cfg)

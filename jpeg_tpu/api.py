@@ -13,10 +13,11 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import container, entropy
-from .config import Configuration, QuantizationMethod  # re-export
+from .config import BadRleCodeError, Configuration, QuantizationMethod  # re-export
 from .container import CompressedData
 from .ops import band as _band
 from .ops.band import decode_band_levels, encode_band_levels
@@ -37,23 +38,80 @@ def decompress_band(data: bytes, config: Configuration, dtype=None) -> np.ndarra
 
 @functools.lru_cache(maxsize=None)
 def _encode3_fn(key, dtype_name: str, use_pallas: bool):
-    """One jitted call transforming all 3 bands: (3, H, W) -> (3, N, L).
+    """One jitted call transforming all 3 bands: (3, H, W) -> (3, N, L) i16.
 
     A single device launch + a single device->host pull per image instead of
     three — launch latency and transfer setup dominate small/medium images.
+    Levels are shipped as int16 (any representable stream has |amp| <= 16383,
+    reference util.py:162-174) with a device-computed max |level| so the host
+    can reject unrepresentable streams before the narrowing loses anything.
     """
-    return jax.jit(jax.vmap(_band.make_encode(key, dtype_name, use_pallas)))
+    enc = _band.make_encode(key, dtype_name, use_pallas)
+
+    def f(bands):
+        levels = jax.vmap(enc)(bands)
+        mx = jnp.max(jnp.abs(levels))
+        return levels.astype(jnp.int16), mx.astype(jnp.int32)
+
+    return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)
 def _decode3_fn(key, dtype_name: str, use_pallas: bool):
-    return jax.jit(jax.vmap(_band.make_decode(key, dtype_name, use_pallas)))
+    """(3, N, L) int16 levels -> (3, H, W) uint8 planes (one launch)."""
+    dec = _band.make_decode(key, dtype_name, use_pallas)
+
+    def f(levels16):
+        planes = jax.vmap(dec)(levels16.astype(jnp.int32))
+        return planes.astype(jnp.uint8)   # already clamped to [0, 255]
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _encode3_stream_fn(key, dtype_name: str, use_pallas: bool):
+    """Fully-device encode: (3, H, W) -> (stream bytes, band lengths, max).
+
+    The entropy bitstream is assembled on device (entropy/device_codec.py),
+    so the only device->host traffic is the compressed bytes themselves —
+    typically 5-40x smaller than the coefficient levels.
+    """
+    from .entropy import device_codec as DC
+    enc = _band.make_encode(key, dtype_name, use_pallas)
+
+    def f(bands):
+        levels = jax.vmap(enc)(bands)                  # (3, N, L)
+        flat = levels.reshape(-1, levels.shape[-1])
+        return DC.encode_bands_stream(flat, 3)
+
+    return jax.jit(f)
+
+
+def _pull_prefix(dev_u8, nbytes: int) -> bytes:
+    """Transfer only the used prefix of a device byte buffer.
+
+    Slice lengths are rounded up to powers of two so the number of distinct
+    slice executables (each a fresh XLA compile) stays logarithmic.
+    """
+    n = int(nbytes)
+    cap = dev_u8.shape[0]
+    nr = 4096
+    while nr < n:
+        nr <<= 1
+    return np.asarray(dev_u8[:min(nr, cap)])[:n].tobytes()
 
 
 def _dt_and_pallas(config: Configuration, dtype):
     dt = np.dtype(dtype if dtype is not None else _band.default_dtype())
     pal = dt == np.float32 and _band.use_pallas_default(config.transform)
     return dt, pal
+
+
+def _use_device_entropy() -> bool:
+    import os
+    if os.environ.get("JPEG_TPU_HOST_ENTROPY"):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
@@ -67,10 +125,27 @@ def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
     if ycbcr.ndim != 3 or ycbcr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) YCbCr array, got {ycbcr.shape}")
     dt, pal = _dt_and_pallas(config, dtype)
-    fn = _encode3_fn(_band.config_key(config), dt.name, pal)
-    levels = np.asarray(fn(np.ascontiguousarray(ycbcr.transpose(2, 0, 1))))
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        bands = list(pool.map(entropy.encode_levels, list(levels)))
+    planes = np.ascontiguousarray(ycbcr.transpose(2, 0, 1))
+    if _use_device_entropy():
+        fn = _encode3_stream_fn(_band.config_key(config), dt.name, pal)
+        stream, band_bytes, mx = fn(planes)
+        if int(mx) > entropy.MAX_AMP:
+            raise BadRleCodeError(
+                f"amplitude {int(mx)} exceeds the representable "
+                f"{entropy.MAX_AMP}")
+        bb = [int(x) for x in np.asarray(band_bytes)]
+        buf = _pull_prefix(stream, sum(bb))
+        bands = [buf[sum(bb[:i]):sum(bb[:i + 1])] for i in range(3)]
+    else:
+        fn = _encode3_fn(_band.config_key(config), dt.name, pal)
+        levels16, mx = fn(planes)
+        if int(mx) > entropy.MAX_AMP:
+            raise BadRleCodeError(
+                f"amplitude {int(mx)} exceeds the representable "
+                f"{entropy.MAX_AMP}")
+        levels = np.asarray(levels16)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            bands = list(pool.map(entropy.encode_levels, list(levels)))
     return container.generate_data(config, CompressedData(*bands))
 
 
@@ -84,8 +159,10 @@ def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
             (data.y, data.cb, data.cr)))
     dt, pal = _dt_and_pallas(config, dtype)
     fn = _decode3_fn(_band.config_key(config), dt.name, pal)
-    planes = np.asarray(fn(np.stack(levels)))
-    return planes.transpose(1, 2, 0).astype(np.uint8)
+    # Decoded amplitudes always fit int16 (size <= 15 enforced by the
+    # entropy decoder), so upload the narrow form.
+    planes = np.asarray(fn(np.stack(levels).astype(np.int16)))
+    return planes.transpose(1, 2, 0)
 
 
 class Jpeg:

@@ -1,0 +1,52 @@
+"""API edge cases around the int16 level transport."""
+import numpy as np
+import pytest
+
+from jpeg_tpu import (BadRleCodeError, Configuration, QuantizationMethod,
+                      compress_ycbcr, decompress_to_ycbcr)
+
+
+def test_overrange_amplitude_rejected():
+    # dct_size 24 with raw rounding: the DC coefficient of a bright plane is
+    # ~255*576 >> 16383, unrepresentable in the 4-bit-size RLE code
+    # (reference util.py:162-174) -> must raise, not wrap through int16.
+    cfg = Configuration(width=48, height=48, block_size=1, dct_size=24,
+                        quantization=QuantizationMethod("none"))
+    img = np.full((48, 48, 3), 200, dtype=np.uint8)
+    with pytest.raises(BadRleCodeError):
+        compress_ycbcr(img, cfg)
+
+
+def test_device_entropy_path_matches_host(monkeypatch):
+    # Force the fully-on-device entropy path (normally TPU-only) and check
+    # the container bytes are identical to the host entropy path.
+    from jpeg_tpu import api
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    cfg = Configuration(width=56, height=40, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    host_blob = compress_ycbcr(img, cfg)
+    monkeypatch.setattr(api, "_use_device_entropy", lambda: True)
+    dev_blob = compress_ycbcr(img, cfg)
+    assert dev_blob == host_blob
+
+
+def test_device_entropy_path_rejects_overrange(monkeypatch):
+    from jpeg_tpu import api
+    monkeypatch.setattr(api, "_use_device_entropy", lambda: True)
+    cfg = Configuration(width=48, height=48, block_size=1, dct_size=24,
+                        quantization=QuantizationMethod("none"))
+    img = np.full((48, 48, 3), 200, dtype=np.uint8)
+    with pytest.raises(BadRleCodeError):
+        compress_ycbcr(img, cfg)
+
+
+def test_amplitude_at_limit_roundtrips():
+    # divide quantizer keeps the same plane well inside the representable
+    # range and round-trips.
+    cfg = Configuration(width=48, height=48, block_size=1, dct_size=24,
+                        quantization=QuantizationMethod("divide", divisor=40))
+    img = np.full((48, 48, 3), 200, dtype=np.uint8)
+    out = decompress_to_ycbcr(compress_ycbcr(img, cfg))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - 200).max() <= 2

@@ -1,0 +1,72 @@
+"""Device-side entropy encoder vs the host codec: bit-identical streams."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from jpeg_tpu.entropy import device_codec as DC
+from jpeg_tpu.entropy import numpy_codec as NC
+
+RNG = np.random.default_rng(11)
+
+
+def _device_bytes(levels):
+    stream, blk_bytes = jax.jit(DC.encode_stream)(jnp.asarray(levels))
+    total = int(np.asarray(blk_bytes).sum())
+    return np.asarray(stream)[:total].tobytes(), np.asarray(blk_bytes)
+
+
+@pytest.mark.parametrize("L", [16, 64, 576])
+def test_random_sparse_matches_host(L):
+    for density in (0.0, 0.05, 0.3, 1.0):
+        levels = np.zeros((37, L), dtype=np.int32)
+        mask = RNG.random(levels.shape) < density
+        levels[mask] = RNG.integers(-16383, 16384, int(mask.sum()))
+        got, blk_bytes = _device_bytes(levels)
+        want = NC.encode_levels(levels)
+        assert got == want, f"L={L} density={density}"
+        # per-block byte counts consistent with one-block encodes
+        for i in [0, 17, 36]:
+            assert blk_bytes[i] == len(NC.encode_levels(levels[i:i + 1]))
+
+
+def test_edge_patterns():
+    L = 64
+    rows = np.zeros((6, L), dtype=np.int32)
+    rows[1, 0] = -5
+    rows[2, L - 1] = 1                 # 63 zeros -> 4 chains + code
+    rows[3, 0] = 16383                 # max amplitude, size 15
+    rows[4, 15] = 7                    # run == 15 -> chain + (0, size, amp)
+    rows[5, :] = 1                     # fully dense block
+    got, _ = _device_bytes(rows)
+    assert got == NC.encode_levels(rows)
+
+
+def test_single_block_and_empty():
+    got, _ = _device_bytes(np.zeros((1, 64), np.int32))
+    assert got == NC.encode_levels(np.zeros((1, 64), np.int32)) == b"\x00"
+
+
+def test_bands_split():
+    levels = np.zeros((3 * 9, 64), dtype=np.int32)
+    mask = RNG.random(levels.shape) < 0.2
+    levels[mask] = RNG.integers(-300, 300, int(mask.sum()))
+    stream, band_bytes, mx = jax.jit(
+        DC.encode_bands_stream, static_argnums=1)(jnp.asarray(levels), 3)
+    band_bytes = np.asarray(band_bytes)
+    buf = np.asarray(stream)[:band_bytes.sum()].tobytes()
+    off = 0
+    for b in range(3):
+        part = buf[off:off + band_bytes[b]]
+        off += band_bytes[b]
+        assert part == NC.encode_levels(levels[9 * b:9 * (b + 1)])
+    assert int(mx) == int(np.abs(levels).max())
+
+
+def test_roundtrip_through_host_decoder():
+    levels = np.zeros((25, 64), dtype=np.int32)
+    mask = RNG.random(levels.shape) < 0.15
+    levels[mask] = RNG.integers(-2000, 2000, int(mask.sum()))
+    got, _ = _device_bytes(levels)
+    back = NC.decode_levels(got, 25, 64)
+    np.testing.assert_array_equal(back, levels)
