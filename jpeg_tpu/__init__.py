@@ -22,6 +22,7 @@ from .container import (CompressedData, create_header, generate_data,
                         get_header, read_data)
 from .api import (Jpeg, compress_band, compress_ycbcr, decompress_band,
                   decompress_to_ycbcr, psnr)
+from . import steps  # invertible step-pipeline view (steps.step_classes)
 
 __version__ = "0.1.0"
 

@@ -51,7 +51,13 @@ def subsample(a, block_size: int):
         h, w = a.shape
     dtype = jnp.result_type(a.dtype, jnp.float32)
     a = a.reshape(h // block_size, block_size, w // block_size, block_size)
-    return jnp.mean(a.astype(dtype), axis=(1, 3))
+    # Sum-then-divide, not jnp.mean: mean lowers to a reciprocal multiply,
+    # which differs from np.mean's true division by 1 ULP for non-power-of-2
+    # block areas — enough to flip round() at the DCT's half-integer
+    # coefficients downstream.  Integer pixel sums are exact in f64, so the
+    # single division makes subsampling bitwise equal to the reference
+    # (subsampling.py:9-11).
+    return jnp.sum(a.astype(dtype), axis=(1, 3)) / (block_size * block_size)
 
 
 def inflate(a, factor: int):

@@ -227,6 +227,62 @@ def _callback(host_fn, blocks, n: int):
         blocks.astype(jnp.float64), vmap_method="expand_dims")
 
 
+def _host_fft2_complex(blocks: np.ndarray, n: int) -> np.ndarray:
+    flat = np.ascontiguousarray(blocks).reshape(-1, n, n)
+    out = np.empty(flat.shape, dtype=np.complex128)
+    for b in range(flat.shape[0]):
+        out[b] = np.fft.fft2(flat[b])
+    return out.reshape(blocks.shape)
+
+
+def _host_ifft2_complex(blocks: np.ndarray, n: int) -> np.ndarray:
+    flat = np.ascontiguousarray(blocks).reshape(-1, n, n)
+    out = np.empty(flat.shape, dtype=np.complex128)
+    for b in range(flat.shape[0]):
+        out[b] = np.fft.ifft2(flat[b])
+    return out.reshape(blocks.shape)
+
+
+def exact_fft2_blocks(blocks, n: int):
+    """Parity-mode per-block np.fft.fft2, complex128 (basis_change.py:20-25)."""
+    return jax.pure_callback(
+        functools.partial(_host_fft2_complex, n=n),
+        jax.ShapeDtypeStruct(blocks.shape, jnp.complex128),
+        blocks, vmap_method="expand_dims")
+
+
+def exact_ifft2_blocks(blocks, n: int):
+    """Parity-mode per-block np.fft.ifft2, complex128 (basis_change.py:38-41)."""
+    return jax.pure_callback(
+        functools.partial(_host_ifft2_complex, n=n),
+        jax.ShapeDtypeStruct(blocks.shape, jnp.complex128),
+        blocks, vmap_method="expand_dims")
+
+
+def exact_dct2_blocks(blocks, n: int):
+    """Parity-mode forward DCT on (..., d, d) blocks (no zigzag)."""
+    return _callback(_host_dct2, blocks, n)
+
+
+def exact_idct2_blocks(blocks, n: int):
+    """Parity-mode inverse DCT on (..., d, d) blocks (no zigzag)."""
+    return _callback(_host_idct2, blocks, n)
+
+
+@functools.lru_cache(maxsize=None)
+def kron_operator(n: int) -> np.ndarray:
+    """(d*d, d*d) forward 2-D DCT operator in row-major order (no zigzag)."""
+    a = dct_matrix(n)
+    return np.kron(a, a)
+
+
+@functools.lru_cache(maxsize=None)
+def kron_inverse_operator(n: int) -> np.ndarray:
+    """(d*d, d*d) inverse 2-D DCT operator in row-major order (no zigzag)."""
+    b = idct_matrix(n)
+    return np.kron(b, b)
+
+
 def exact_dct2_zigzag(blocks, n: int):
     """Parity-mode fused DCT+zigzag: (..., d, d) blocks -> (..., d*d)."""
     coeffs = _callback(_host_dct2, blocks, n)
