@@ -84,6 +84,8 @@ def measure_reference_band_mps(budget_s: float = 6.0) -> float:
 
 
 def main() -> None:
+    from jpeg_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     from jpeg_tpu import Configuration, QuantizationMethod, compress_ycbcr
 
     cfg = Configuration(width=IMG_W, height=IMG_H, block_size=2, dct_size=8,

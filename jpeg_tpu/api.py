@@ -101,6 +101,49 @@ def _pull_prefix(dev_u8, nbytes: int) -> bytes:
     return np.asarray(dev_u8[:min(nr, cap)])[:n].tobytes()
 
 
+@functools.lru_cache(maxsize=None)
+def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
+                       nbytes_pad: int):
+    """Fully-device decode: (stream bytes, block starts) -> (3, H, W) u8.
+
+    The host does only the serial O(bytes) boundary scan; bit parsing, IDCT
+    and clamping all run in one jitted program (entropy/device_codec.py).
+    ``nbytes_pad`` is the power-of-two padded stream size (static shape)."""
+    from .entropy import device_codec as DC
+    h, w, bs, d, transform, qname, qparams = key
+    cfg = Configuration(width=w, height=h, block_size=bs, dct_size=d,
+                        transform=transform,
+                        quantization=QuantizationMethod(qname, **dict(qparams)))
+    L = d * d
+    nb = cfg.num_blocks
+    dec = _band.make_decode(key, dtype_name, use_pallas)
+
+    def f(stream_u8, starts):
+        levels = DC.decode_stream(stream_u8, starts, L)       # (3*nb, L)
+        planes = jax.vmap(dec)(levels.reshape(3, nb, L))
+        return planes.astype(jnp.uint8)
+
+    return jax.jit(f)
+
+
+def _decompress_device(config: Configuration, data: CompressedData, dt, pal):
+    from .entropy import native_codec
+    nb, L = config.num_blocks, config.dct_size ** 2
+    streams = [data.y, data.cb, data.cr]
+    starts, off = [], 0
+    for s in streams:
+        starts.append(native_codec.scan_offsets(s, nb, L) + off)
+        off += len(s)
+    buf = b"".join(streams)
+    pad = 4096
+    while pad < len(buf):
+        pad <<= 1
+    arr = np.zeros(pad, np.uint8)
+    arr[:len(buf)] = np.frombuffer(buf, np.uint8)
+    fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad)
+    return np.asarray(fn(arr, np.concatenate(starts)))
+
+
 def _dt_and_pallas(config: Configuration, dtype):
     dt = np.dtype(dtype if dtype is not None else _band.default_dtype())
     pal = dt == np.float32 and _band.use_pallas_default(config.transform)
@@ -152,12 +195,20 @@ def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
 def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
     """Container bytes -> (H, W, 3) uint8 YCbCr image."""
     config, data = container.read_data(bytestream)
+    dt, pal = _dt_and_pallas(config, dtype)
+    # Device-side bit parsing is opt-in: it minimizes host->device traffic
+    # (stream bytes instead of levels) but its lockstep-loop XLA graph has a
+    # long first compile, which only pays off for long-lived processes.
+    import os
+    if os.environ.get("JPEG_TPU_DEVICE_DECODE") and _use_device_entropy():
+        from .entropy import native_codec
+        if native_codec.available():
+            return _decompress_device(config, data, dt, pal).transpose(1, 2, 0)
     nb, L = config.num_blocks, config.dct_size ** 2
     with ThreadPoolExecutor(max_workers=3) as pool:
         levels = list(pool.map(
             lambda s: entropy.decode_levels(s, nb, L),
             (data.y, data.cb, data.cr)))
-    dt, pal = _dt_and_pallas(config, dtype)
     fn = _decode3_fn(_band.config_key(config), dt.name, pal)
     # Decoded amplitudes always fit int16 (size <= 15 enforced by the
     # entropy decoder), so upload the narrow form.

@@ -134,6 +134,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     mesh = None
     if args.mesh:

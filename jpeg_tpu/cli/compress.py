@@ -66,6 +66,8 @@ def quantization_from_args(args: argparse.Namespace):
 
 
 def main(argv=None) -> None:
+    from ..utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     compress(args.infile, args.outfile, block_size=args.block_size,
              dct_size=args.dct_size, transform=args.transform,

@@ -21,6 +21,8 @@ def main(argv=None) -> None:
     parser.add_argument("outfile", type=str, help="a destination image path")
     parser.add_argument("--dtype", action="store", type=str, default=None,
                         help="compute dtype override (float32/float64)")
+    from ..utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = parser.parse_args(argv)
     decompress(args.infile, args.outfile, dtype=args.dtype)
 

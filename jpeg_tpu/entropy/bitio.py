@@ -117,6 +117,33 @@ class BitDecoder:
         return self._pos >= len(self._bits)
 
 
+class RunLengthBlock:
+    """Per-block RLE encode/decode over code objects
+    (reference pipeline/run_length_encoding.py:6-40)."""
+
+    def __init__(self, block_size: int):
+        self._size = block_size
+
+    def encode(self, zigzag_array) -> List["RunLengthCode"]:
+        a = np.asarray(np.round(np.real(np.asarray(zigzag_array))), np.int64)
+        res: List[RunLengthCode] = []
+        prev = -1
+        for i in np.nonzero(a)[0]:
+            res.extend(RunLengthCode.encode(int(i) - prev - 1, int(a[i])))
+            prev = int(i)
+        res.append(RunLengthCode.EOB())
+        return res
+
+    def decode(self, rle_block) -> np.ndarray:
+        out: List[int] = []
+        for code in rle_block:
+            if code.is_EOB():
+                out.extend([0] * (self._size - len(out)))
+                break
+            out.extend(code.decode())
+        return np.array(out)
+
+
 class RunLengthCode:
     """(run_length, size, amplitude) code object (reference util.py:134-229)."""
 

@@ -113,6 +113,70 @@ def encode_stream(levels):
     return out.astype(jnp.uint8), blk_bytes
 
 
+def decode_stream(stream_u8, starts, L: int):
+    """Block-parallel device decode: (stream bytes, block start offsets) ->
+    (N, L) int32 levels.
+
+    The serial part of decode — finding where each block's bitstream starts
+    — happens host-side in one O(bytes) C++ scan (native_codec.scan_offsets),
+    which also validates the stream.  Here every block then advances in
+    lockstep, one code per step, using 4-byte gathers to read its 32-bit
+    code window; bounded by the max codes per block (L + L//15 + 2), so the
+    whole loop is jit-compilable with static shapes.
+    """
+    n = starts.shape[0]
+    nbytes = stream_u8.shape[0]
+    stream = stream_u8.astype(jnp.uint32)
+    max_steps = L + L // MAX_RUN + 2
+    rows = jnp.arange(n, dtype=jnp.int32)
+
+    def read_window(pos):
+        """32-bit MSB-first window aligned so the code starts at bit 31."""
+        byte0 = pos >> 3
+        w = jnp.zeros(pos.shape, jnp.uint32)
+        for j in range(4):
+            b = stream[jnp.minimum(byte0 + j, nbytes - 1)]
+            w = (w << 8) | b
+        return w << (pos & 7).astype(jnp.uint32)
+
+    def body(_, carry):
+        pos, widx, done, out = carry
+        active = ~done
+        win = read_window(pos)
+        run = (win >> 28).astype(jnp.int32)
+        size = ((win >> 24) & 0xF).astype(jnp.int32)
+        is_eob = (run == 0) & (size == 0)
+        is_chain = (run == MAX_RUN) & (size == 0)
+        is_code = ~is_eob & ~is_chain
+
+        sign = ((win >> 23) & 1).astype(jnp.int32)
+        nmag = jnp.maximum(size - 1, 0)
+        mag = ((win >> (23 - nmag).astype(jnp.uint32))
+               & ((jnp.uint32(1) << nmag.astype(jnp.uint32)) - 1)
+               ).astype(jnp.int32)
+        amp = jnp.where(sign == 1, mag, -mag)
+
+        wt = widx + run
+        store = active & is_code & (wt < L)
+        out = out.at[rows, jnp.clip(wt, 0, L - 1)].add(
+            jnp.where(store, amp, 0))
+        widx = jnp.where(active & is_chain, widx + MAX_RUN,
+                         jnp.where(store, wt + 1, widx))
+        adv = jnp.where(is_eob | is_chain, 8, 8 + size)
+        newpos = pos + adv
+        newpos = jnp.where(is_eob, (newpos + 7) & ~jnp.int32(7), newpos)
+        pos = jnp.where(active, newpos, pos)
+        done = done | (active & is_eob)
+        return pos, widx, done, out
+
+    init = (starts.astype(jnp.int32) * 8,
+            jnp.zeros(n, jnp.int32),
+            jnp.zeros(n, bool),
+            jnp.zeros((n, L), jnp.int32))
+    _, _, _, out = jax.lax.fori_loop(0, max_steps, body, init)
+    return out
+
+
 def encode_bands_stream(levels, n_bands: int):
     """(B*N, L) levels of B equal bands -> (bytes_u8, band_bytes (B,), mx).
 

@@ -112,6 +112,37 @@ int64_t jt_encode_bound(int64_t n_blocks, int64_t L) {
     return n_blocks * ((bits + 7) / 8) + 16;
 }
 
+// Scan block boundaries only: record each block's start byte offset into
+// starts[n_blocks], validating the stream but not materializing levels.
+// This is the only serial part of decode; the per-coefficient work can then
+// run data-parallel per block (e.g. on the TPU, entropy/device_codec.py).
+// Returns bytes consumed or <0 (same error codes as jt_decode).
+int64_t jt_scan_offsets(const uint8_t* data, int64_t n_bytes,
+                        int32_t* starts, int64_t n_blocks, int64_t L) {
+    BitReader r{data, n_bytes * 8};
+    const int64_t max_codes = L + L / kMaxRun + 2;
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        starts[b] = int32_t(r.bitpos >> 3);
+        int64_t widx = 0;
+        bool done = false;
+        for (int64_t step = 0; step < max_codes; ++step) {
+            if (!r.have(8)) return -5;
+            uint32_t run = r.get(4);
+            uint32_t size = r.get(4);
+            if (run == 0 && size == 0) { r.align_byte(); done = true; break; }
+            if (run == kMaxRun && size == 0) { widx += kMaxRun; continue; }
+            if (size == 0) return -3;
+            if (!r.have(int(size))) return -5;
+            r.bitpos += size;                 // skip sign + magnitude
+            widx += run;
+            if (widx >= L) return -4;
+            ++widx;
+        }
+        if (!done) return -6;
+    }
+    return r.bitpos >> 3;
+}
+
 // Decode into (n_blocks x L) int32. Returns bytes consumed or <0.
 int64_t jt_decode(const uint8_t* data, int64_t n_bytes,
                   int32_t* out, int64_t n_blocks, int64_t L) {

@@ -58,6 +58,10 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.jt_decode.restype = ctypes.c_int64
     lib.jt_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                               ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+    lib.jt_scan_offsets.restype = ctypes.c_int64
+    lib.jt_scan_offsets.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int64]
     return lib
 
 
@@ -81,6 +85,37 @@ def encode_levels(levels: np.ndarray) -> bytes:
     if res < 0:
         raise RuntimeError(f"native encode failed with code {res}")
     return out[:res].tobytes()
+
+
+def _raise_stream_error(res: int, buf_size: int, num_blocks: int) -> None:
+    if res == -3:
+        raise BadRleCodeError("invalid code: nonzero run with size 0")
+    if res == -4:
+        raise BadStreamError("coefficient index overflows block")
+    if res == -5:
+        raise BadStreamError("truncated stream")
+    if res == -6:
+        raise BadStreamError("block did not terminate with EOB")
+    if res < 0:
+        raise RuntimeError(f"native codec failed with code {res}")
+    if res != buf_size:
+        raise BadStreamError(
+            f"stream has {buf_size - res} trailing bytes after "
+            f"{num_blocks} blocks")
+
+
+def scan_offsets(data: bytes, num_blocks: int, L: int) -> np.ndarray:
+    """Validate the stream and return each block's start byte offset.
+
+    The serial O(bytes) part of decode; everything per-coefficient can then
+    run block-parallel (consumed by the device decoder)."""
+    assert available()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    starts = np.zeros(num_blocks, dtype=np.int32)
+    res = _lib.jt_scan_offsets(buf.ctypes.data if buf.size else None,
+                               buf.size, starts.ctypes.data, num_blocks, L)
+    _raise_stream_error(res, buf.size, num_blocks)
+    return starts
 
 
 def decode_levels(data: bytes, num_blocks: int, L: int) -> np.ndarray:

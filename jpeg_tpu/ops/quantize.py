@@ -74,6 +74,68 @@ def quantize(coeffs_zz, method: QuantizationMethod, dct_size: int):
     raise ValueError(name)
 
 
+class RoundingQuantizer:
+    """Drop-in class surface (reference quantizers.py:4-9); vectorized."""
+
+    def quantize(self, a):
+        return np.round(a)
+
+    def restore(self, a):
+        return a
+
+
+class DiscardingQuantizer(RoundingQuantizer):
+    """Zero all rows/cols >= keep (reference quantizers.py:12-20)."""
+
+    def __init__(self, keep: int = 2):
+        self.keep = keep
+
+    def quantize(self, a):
+        res = np.round(np.asarray(a)).copy()
+        res[self.keep:] = 0
+        res[:, self.keep:] = 0
+        return res
+
+
+class DivisionQuantizer(RoundingQuantizer):
+    """round(a / divisor); restore a * divisor (quantizers.py:23-31)."""
+
+    def __init__(self, divisor: float = 40):
+        self.divisor = divisor
+
+    def quantize(self, a):
+        return np.round(np.asarray(a) / float(self.divisor))
+
+    def restore(self, a):
+        return np.asarray(a) * self.divisor
+
+
+class JpegQuantizationTable(RoundingQuantizer):
+    """Standard 8x8 luminance table (quantizers.py:34-53)."""
+
+    table = JPEG_QTABLE
+
+    def quantize(self, a):
+        return np.round(np.asarray(a) * (1.0 / JPEG_QTABLE))
+
+    def restore(self, a):
+        return np.round(np.asarray(a) * JPEG_QTABLE)
+
+
+#: Scheme name -> quantizer class (reference pipeline/__init__.py:14-19).
+QUANTIZER_CLASSES = {
+    "none": RoundingQuantizer,
+    "discard": DiscardingQuantizer,
+    "divide": DivisionQuantizer,
+    "qtable": JpegQuantizationTable,
+}
+
+
+def quantizer_for(method: QuantizationMethod):
+    """Instantiate the classic quantizer object for a QuantizationMethod."""
+    return QUANTIZER_CLASSES[method.name](**method.params)
+
+
 def epilogue_vectors(method: QuantizationMethod, dct_size: int):
     """(mul, div, mask) f64 vectors s.t. quantize == round(c*mul/div)*mask.
 

@@ -144,6 +144,70 @@ def izigzag_idct2(coeffs_zz, n: int):
 # encode path only ever needs real(fft2(block)).
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def dct_matrix_normalized(n: int) -> np.ndarray:
+    """Row-normalized DCT matrix (reference transforms.py:14-20).
+
+    Per-row scalar norms, not an axis reduction: the two differ by 1 ULP
+    (BLAS dot vs add.reduce), and this matrix is part of the bit-parity
+    surface."""
+    a = dct_matrix(n).copy()
+    for k in range(n):
+        a[k] /= np.linalg.norm(a[k])
+    return a
+
+
+@functools.lru_cache(maxsize=None)
+def normalization_matrix(n: int) -> np.ndarray:
+    """diag(1/row_norm) (reference transforms.py:23-26)."""
+    return np.diag(1.0 / np.linalg.norm(dct_matrix(n), axis=1))
+
+
+class DCT:
+    """Drop-in class surface for the reference's DCT object
+    (transforms.py:29-75): 1-D/2-D transforms with the same unnormalized
+    scale, vectorized instead of per-row Python loops."""
+
+    def __init__(self, size: int):
+        self._size = size
+
+    def transform_1d(self, x):
+        return np.asarray(dct_matrix(self._size) @ np.asarray(x))
+
+    def transform_1d_inverse(self, x):
+        return np.asarray(idct_matrix(self._size) @ np.asarray(x))
+
+    def transform_2d(self, a):
+        m = dct_matrix(self._size)
+        return np.asarray(m @ np.asarray(a) @ m.T)
+
+    def transform_2d_inverse(self, a):
+        b = idct_matrix(self._size)
+        return np.asarray(b @ np.asarray(a) @ b.T)
+
+
+class Zigzag:
+    """Drop-in zigzag gather/scatter for one block
+    (reference pipeline/zigzag_order.py:12-79)."""
+
+    def __init__(self, size: int):
+        self._size = size
+
+    def zigzag_order(self, block):
+        from ..config import BadArrayShapeError
+        block = np.asarray(block)
+        if block.shape != (self._size, self._size):
+            raise BadArrayShapeError(block.shape)
+        return block.reshape(-1)[zigzag_permutation(self._size)]
+
+    def restore(self, zigzag_vec):
+        from ..config import BadArrayShapeError
+        v = np.asarray(zigzag_vec)
+        if v.shape != (self._size * self._size,):
+            raise BadArrayShapeError(v.shape)
+        return v[inverse_zigzag_permutation(self._size)]
+
+
 # ---------------------------------------------------------------------------
 # Parity-exact transforms (x64 oracle mode only).
 #

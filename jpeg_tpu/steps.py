@@ -70,10 +70,31 @@ class AlgorithmStep:
     def invert(self, array):
         raise NotImplementedError
 
-    # Shared helper (reference: base.py:52-58).
+    # Shared helpers (reference: base.py:52-72).
     def calculate_padding(self, factor: int):
         w, h = self._config.width, self._config.height
         return padded_size(h, factor) - h, padded_size(w, factor) - w
+
+    def blocks(self, a, block_size: int):
+        """Yield (block, y, x) over the block grid (base.py:60-68)."""
+        tiles = B.blockify(jnp.asarray(a), block_size)
+        for y in range(tiles.shape[0]):
+            for x in range(tiles.shape[1]):
+                yield tiles[y, x], y, x
+
+    def apply_blockwise(self, a, transformation, block_size: int, res=None):
+        """Apply ``transformation`` to every block (base.py:70-72).
+
+        Unlike the reference's nested write loop, the function is vmapped
+        over the whole block batch in one dispatch; ``res`` (if given) is
+        filled for signature compatibility and also returned.
+        """
+        tiles = B.blockify(jnp.asarray(a), block_size)
+        out = jax.vmap(jax.vmap(transformation))(tiles)
+        plane = B.deblockify(out)
+        if res is not None:
+            res[...] = np.asarray(plane)
+        return plane
 
     def _parity(self) -> bool:
         return jax.config.jax_enable_x64

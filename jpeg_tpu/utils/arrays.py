@@ -39,6 +39,13 @@ def inflate(a, factor: int) -> np.ndarray:
     return np.asarray(B.inflate(jnp.asarray(a), factor))
 
 
+def calculate_padding(a, factor: int):
+    """(pad_rows, pad_cols) to reach multiples of ``factor``
+    (reference util.py:104-108)."""
+    return (padded_size(a.shape[0], factor) - a.shape[0],
+            padded_size(a.shape[1], factor) - a.shape[1])
+
+
 def band_to_array(band) -> np.ndarray:
     """PIL band -> 2-D int array (reference util.py:110-112, which built it
     from ``list(band.getdata())``; np.asarray is the zero-copy form)."""

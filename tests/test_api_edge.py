@@ -31,6 +31,23 @@ def test_device_entropy_path_matches_host(monkeypatch):
     assert dev_blob == host_blob
 
 
+def test_device_decode_path_matches_host(monkeypatch):
+    from jpeg_tpu import api
+    from jpeg_tpu.entropy import native_codec
+    if not native_codec.available():
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    cfg = Configuration(width=56, height=40, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    blob = compress_ycbcr(img, cfg)
+    host_out = decompress_to_ycbcr(blob)
+    monkeypatch.setattr(api, "_use_device_entropy", lambda: True)
+    monkeypatch.setenv("JPEG_TPU_DEVICE_DECODE", "1")
+    dev_out = decompress_to_ycbcr(blob)
+    np.testing.assert_array_equal(dev_out, host_out)
+
+
 def test_device_entropy_path_rejects_overrange(monkeypatch):
     from jpeg_tpu import api
     monkeypatch.setattr(api, "_use_device_entropy", lambda: True)

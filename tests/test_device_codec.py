@@ -63,6 +63,54 @@ def test_bands_split():
     assert int(mx) == int(np.abs(levels).max())
 
 
+def _device_decode(stream_bytes, num_blocks, L):
+    from jpeg_tpu.entropy import native_codec
+    if not native_codec.available():
+        pytest.skip("native codec unavailable")
+    starts = native_codec.scan_offsets(stream_bytes, num_blocks, L)
+    buf = np.frombuffer(stream_bytes, np.uint8)
+    fn = jax.jit(DC.decode_stream, static_argnums=2)
+    return np.asarray(fn(jnp.asarray(buf), jnp.asarray(starts), L))
+
+
+@pytest.mark.parametrize("L", [16, 64, 576])
+def test_device_decode_matches_levels(L):
+    for density in (0.0, 0.05, 0.3, 1.0):
+        levels = np.zeros((23, L), dtype=np.int32)
+        mask = RNG.random(levels.shape) < density
+        levels[mask] = RNG.integers(-16383, 16384, int(mask.sum()))
+        stream = NC.encode_levels(levels)
+        got = _device_decode(stream, 23, L)
+        np.testing.assert_array_equal(got, levels)
+
+
+def test_device_decode_edge_patterns():
+    L = 64
+    rows = np.zeros((5, L), dtype=np.int32)
+    rows[1, 0] = -5
+    rows[2, L - 1] = 1
+    rows[3, 0] = 16383
+    rows[4, 15] = 7
+    stream = NC.encode_levels(rows)
+    np.testing.assert_array_equal(_device_decode(stream, 5, L), rows)
+
+
+def test_scan_offsets_validates():
+    from jpeg_tpu.config import BadStreamError
+    from jpeg_tpu.entropy import native_codec
+    if not native_codec.available():
+        pytest.skip("native codec unavailable")
+    levels = np.zeros((3, 64), np.int32)
+    levels[0, 0] = 9
+    stream = NC.encode_levels(levels)
+    starts = native_codec.scan_offsets(stream, 3, 64)
+    assert starts[0] == 0 and starts[1] == 3 and starts[2] == 4
+    with pytest.raises(BadStreamError):
+        native_codec.scan_offsets(stream[:-1], 3, 64)   # truncated
+    with pytest.raises(BadStreamError):
+        native_codec.scan_offsets(stream + b"\x00", 3, 64)  # trailing
+
+
 def test_roundtrip_through_host_decoder():
     levels = np.zeros((25, 64), dtype=np.int32)
     mask = RNG.random(levels.shape) < 0.15
