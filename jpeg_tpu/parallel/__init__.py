@@ -9,14 +9,16 @@ stream.
 """
 from .mesh import (BAND_AXIS, DATA_AXIS, batch_sharding, factorize,
                    levels_sharding, make_mesh, plane_sharding, replicated)
-from .sharded import (compress_batch, compress_plane, decompress_batch,
+from .sharded import (compress_batch, compress_plane,
+                      compress_plane_device_entropy, decompress_batch,
                       encode_batch_levels, stitch_streams)
 from .stats import block_bits, block_bytes, total_bytes
 
 __all__ = [
     "BAND_AXIS", "DATA_AXIS", "batch_sharding", "factorize",
     "levels_sharding", "make_mesh", "plane_sharding", "replicated",
-    "compress_batch", "compress_plane", "decompress_batch",
+    "compress_batch", "compress_plane", "compress_plane_device_entropy",
+    "decompress_batch",
     "encode_batch_levels", "stitch_streams",
     "block_bits", "block_bytes", "total_bytes",
 ]

@@ -119,6 +119,65 @@ def compress_plane(plane, config: Configuration, mesh, dtype=None) -> bytes:
                                 rows_per_shard * config.blocks_wide)
 
 
+def compress_plane_device_entropy(plane, config: Configuration, mesh,
+                                  dtype=None) -> bytes:
+    """Row-band compress with PER-SHARD on-device entropy encoding.
+
+    The fully TPU-native distributed encode (SURVEY.md §2b): each device
+    runs the coefficient path AND assembles the bitstream for its own block
+    rows (entropy/device_codec.py) under ``shard_map``; the host only pulls
+    each shard's used prefix and concatenates.  Byte-aligned blocks make the
+    concatenation bit-identical to the serial stream.
+
+    Block rows are padded to a multiple of the shard count with all-zero
+    blocks; each padding block encodes to exactly one EOB byte at the tail
+    of the last shard's stream and is dropped before stitching.
+    """
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+    from ..entropy import device_codec as DC
+
+    plane = jnp.asarray(plane)
+    dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
+    fn = _plane_encode_fn(band_ops.config_key(config), dt.name, mesh,
+                          tuple(plane.shape))
+    levels = fn(plane)                                   # (N, L) device
+
+    n_shards = mesh.devices.size
+    flat = Mesh(mesh.devices.reshape(-1), (mesh_lib.BAND_AXIS,))
+    L = config.dct_size ** 2
+    n_blocks = config.num_blocks
+    n_padded = -(-n_blocks // n_shards) * n_shards
+    n_pad = n_padded - n_blocks
+    if n_pad:
+        levels = jnp.concatenate(
+            [levels, jnp.zeros((n_pad, L), levels.dtype)], axis=0)
+
+    @partial(shard_map, mesh=flat, in_specs=P(mesh_lib.BAND_AXIS, None),
+             out_specs=(P(mesh_lib.BAND_AXIS, None), P(mesh_lib.BAND_AXIS)))
+    def shard_encode(local_levels):
+        buf, blk_bytes = DC.encode_stream(local_levels)
+        return buf[None, :], blk_bytes
+
+    buf, blk_bytes = jax.jit(shard_encode)(levels)       # (S, worst), (Np,)
+    blk_bytes = np.asarray(blk_bytes)
+    m = n_padded // n_shards
+    parts = []
+    for s in range(n_shards):
+        # Real blocks are a prefix of each shard's contiguous range, so the
+        # padding blocks' EOB bytes sit at the shard buffer's tail — drop by
+        # summing only the real blocks' byte counts.
+        lo, hi = s * m, min((s + 1) * m, n_blocks)
+        used = int(blk_bytes[lo:hi].sum()) if hi > lo else 0
+        cap = 4096
+        while cap < used:
+            cap <<= 1
+        parts.append(
+            np.asarray(buf[s, :min(cap, buf.shape[1])])[:used].tobytes())
+    return stitch_streams(parts)
+
+
 def compress_batch(images, config: Configuration, mesh,
                    dtype=None) -> List[bytes]:
     """(B, H, W, 3) uint8 YCbCr batch -> list of B container blobs.

@@ -133,3 +133,38 @@ def test_graft_dryrun_multichip():
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
     mod.dryrun_multichip(2)
+
+
+def test_device_entropy_sharded_stitch():
+    # Per-shard on-device entropy under shard_map == serial stream.
+    cfg = _cfg(40, 8 * 2 * 8, block_size=2)
+    mesh = parallel.make_mesh(8)
+    plane = RNG.integers(0, 256, (cfg.height, cfg.width), dtype=np.int32)
+    got = parallel.compress_plane_device_entropy(plane, cfg, mesh)
+    want = entropy.encode_levels(np.asarray(encode_band_levels(plane, cfg)))
+    assert got == want
+
+
+def test_device_entropy_sharded_stitch_uneven():
+    # num_blocks (5*3=15 block-rows of 2 blocks) not divisible by 8 shards:
+    # zero-block padding EOB bytes must be dropped from the tail.
+    cfg = _cfg(24, 5 * 2 * 8, block_size=2)
+    mesh = parallel.make_mesh(8)
+    plane = RNG.integers(0, 256, (cfg.height, cfg.width), dtype=np.int32)
+    got = parallel.compress_plane_device_entropy(plane, cfg, mesh)
+    want = entropy.encode_levels(np.asarray(encode_band_levels(plane, cfg)))
+    assert got == want
+
+
+def test_fullhd_rowband_pipeline():
+    # 1080p plane through the row-band + stitch path (f32 fast mode).
+    cfg = Configuration(width=1920, height=1080, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    mesh = parallel.make_mesh(8)
+    y, x = np.mgrid[0:1080, 0:1920]
+    plane = np.clip(128 + 80 * np.sin(x / 37.0) * np.cos(y / 23.0),
+                    0, 255).astype(np.int32)
+    got = parallel.compress_plane(plane, cfg, mesh, dtype=np.float32)
+    want = entropy.encode_levels(
+        np.asarray(encode_band_levels(plane, cfg, dtype=np.float32)))
+    assert got == want
