@@ -134,7 +134,7 @@ def compress_plane_device_entropy(plane, config: Configuration, mesh,
     of the last shard's stream and is dropped before stitching.
     """
     from functools import partial
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
     from ..entropy import device_codec as DC
 
