@@ -19,7 +19,7 @@ local block rows and an all-gather of byte lengths fixes the offsets.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -178,13 +178,34 @@ def compress_plane_device_entropy(plane, config: Configuration, mesh,
     return stitch_streams(parts)
 
 
+def _batch_stream_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple):
+    """Jitted (B, H, W) -> (stream bytes, per-band byte counts, max level)."""
+    cache_key = ("stream", key, dtype_name, mesh, shape)
+    fn = _BATCH_FNS.get(cache_key)
+    if fn is None:
+        from ..entropy import device_codec as DC
+        encode_one = band_ops.make_encode(key, dtype_name)
+
+        def step(bands):
+            levels = jax.vmap(encode_one)(bands)          # (B, N, L)
+            flat = levels.reshape(-1, levels.shape[-1])
+            return DC.encode_bands_stream(flat, bands.shape[0])
+
+        fn = jax.jit(step, in_shardings=mesh_lib.batch_sharding(mesh, shape))
+        _BATCH_FNS[cache_key] = fn
+    return fn
+
+
 def compress_batch(images, config: Configuration, mesh,
-                   dtype=None) -> List[bytes]:
+                   dtype=None, device_entropy: Optional[bool] = None
+                   ) -> List[bytes]:
     """(B, H, W, 3) uint8 YCbCr batch -> list of B container blobs.
 
-    The coefficient path for all B*3 bands runs as one sharded program; the
-    per-band entropy encodes run on a host thread pool (the C++ codec
-    releases the GIL during the ctypes call).
+    The coefficient path for all B*3 bands runs as one sharded program.
+    Entropy: on device (default on the TPU backend) the whole batch's
+    bitstream is assembled in the same program and only the compressed
+    bytes come back; otherwise per-band host encodes run on a thread pool
+    (the C++ codec releases the GIL during the ctypes call).
     """
     images = np.asarray(images)
     if images.ndim != 4 or images.shape[3] != 3:
@@ -192,9 +213,31 @@ def compress_batch(images, config: Configuration, mesh,
     b = images.shape[0]
     bands = images.transpose(0, 3, 1, 2).reshape(
         b * 3, images.shape[1], images.shape[2])
-    levels, _ = encode_batch_levels(bands, config, mesh, dtype=dtype)
-    with ThreadPoolExecutor(max_workers=min(16, max(1, b * 3))) as pool:
-        streams = list(pool.map(entropy.encode_levels, list(levels)))
+    if device_entropy is None:
+        device_entropy = jax.default_backend() == "tpu"
+
+    if device_entropy:
+        from ..config import BadRleCodeError
+        from ..entropy import MAX_AMP
+        dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
+        fn = _batch_stream_fn(band_ops.config_key(config), dt.name, mesh,
+                              tuple(bands.shape))
+        stream, band_bytes, mx = fn(jnp.asarray(bands))
+        if int(mx) > MAX_AMP:
+            raise BadRleCodeError(
+                f"amplitude {int(mx)} exceeds the representable {MAX_AMP}")
+        bb = np.asarray(band_bytes)
+        total = int(bb.sum())
+        cap = 4096
+        while cap < total:
+            cap <<= 1
+        buf = np.asarray(stream[:min(cap, stream.shape[0])])[:total].tobytes()
+        offs = np.concatenate([[0], np.cumsum(bb)]).astype(np.int64)
+        streams = [buf[offs[i]:offs[i + 1]] for i in range(3 * b)]
+    else:
+        levels, _ = encode_batch_levels(bands, config, mesh, dtype=dtype)
+        with ThreadPoolExecutor(max_workers=min(16, max(1, b * 3))) as pool:
+            streams = list(pool.map(entropy.encode_levels, list(levels)))
     out = []
     for i in range(b):
         data = CompressedData(streams[3 * i], streams[3 * i + 1],

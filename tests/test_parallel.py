@@ -168,3 +168,12 @@ def test_fullhd_rowband_pipeline():
     want = entropy.encode_levels(
         np.asarray(encode_band_levels(plane, cfg, dtype=np.float32)))
     assert got == want
+
+
+def test_compress_batch_device_entropy_matches_host():
+    cfg = _cfg(32, 24, block_size=2)
+    mesh = parallel.make_mesh(8)
+    imgs = RNG.integers(0, 256, (3, 24, 32, 3), dtype=np.uint8)
+    host_blobs = parallel.compress_batch(imgs, cfg, mesh, device_entropy=False)
+    dev_blobs = parallel.compress_batch(imgs, cfg, mesh, device_entropy=True)
+    assert dev_blobs == host_blobs
