@@ -36,12 +36,23 @@ _BATCH_FNS: Dict[Tuple, object] = {}
 _PLANE_FNS: Dict[Tuple, object] = {}
 
 
-def _batch_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple):
+def _mesh_pallas(mesh, dt: np.dtype, transform: str) -> bool:
+    """Pallas kernels when the mesh devices are TPUs and dtype is f32 —
+    keeps sharded encodes bit-identical to the single-device fast path."""
+    import os
+    if os.environ.get("JPEG_TPU_NO_PALLAS"):
+        return False
+    return (dt == np.float32 and transform == "DCT"
+            and mesh.devices.flat[0].platform == "tpu")
+
+
+def _batch_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
+                     use_pallas: bool = False):
     """Jitted (B, H, W) -> ((B, N, L) levels, total payload bytes)."""
-    cache_key = (key, dtype_name, mesh, shape)
+    cache_key = (key, dtype_name, mesh, shape, use_pallas)
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
-        encode_one = band_ops.make_encode(key, dtype_name)
+        encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
 
         def step(bands):
             levels = jax.vmap(encode_one)(bands)
@@ -53,12 +64,13 @@ def _batch_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple):
     return fn
 
 
-def _plane_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple):
+def _plane_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
+                     use_pallas: bool = False):
     """Jitted (H, W) -> (N, L) levels with rows sharded over all devices."""
-    cache_key = (key, dtype_name, mesh, shape)
+    cache_key = (key, dtype_name, mesh, shape, use_pallas)
     fn = _PLANE_FNS.get(cache_key)
     if fn is None:
-        encode_one = band_ops.make_encode(key, dtype_name)
+        encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
         fn = jax.jit(encode_one,
                      in_shardings=mesh_lib.plane_sharding(mesh, shape))
         _PLANE_FNS[cache_key] = fn
@@ -77,7 +89,8 @@ def encode_batch_levels(bands, config: Configuration, mesh,
     bands = jnp.asarray(bands)
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
     fn = _batch_encode_fn(band_ops.config_key(config), dt.name, mesh,
-                          tuple(bands.shape))
+                          tuple(bands.shape),
+                          _mesh_pallas(mesh, dt, config.transform))
     levels, nbytes = fn(bands)
     return np.asarray(levels), int(nbytes)
 
@@ -111,7 +124,8 @@ def compress_plane(plane, config: Configuration, mesh, dtype=None) -> bytes:
     plane = jnp.asarray(plane)
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
     fn = _plane_encode_fn(band_ops.config_key(config), dt.name, mesh,
-                          tuple(plane.shape))
+                          tuple(plane.shape),
+                          _mesh_pallas(mesh, dt, config.transform))
     levels = np.asarray(fn(plane))
     n_shards = mesh.devices.size
     rows_per_shard = -(-config.blocks_high // n_shards)
@@ -141,7 +155,8 @@ def compress_plane_device_entropy(plane, config: Configuration, mesh,
     plane = jnp.asarray(plane)
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
     fn = _plane_encode_fn(band_ops.config_key(config), dt.name, mesh,
-                          tuple(plane.shape))
+                          tuple(plane.shape),
+                          _mesh_pallas(mesh, dt, config.transform))
     levels = fn(plane)                                   # (N, L) device
 
     n_shards = mesh.devices.size
@@ -178,13 +193,14 @@ def compress_plane_device_entropy(plane, config: Configuration, mesh,
     return stitch_streams(parts)
 
 
-def _batch_stream_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple):
+def _batch_stream_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
+                     use_pallas: bool = False):
     """Jitted (B, H, W) -> (stream bytes, per-band byte counts, max level)."""
-    cache_key = ("stream", key, dtype_name, mesh, shape)
+    cache_key = ("stream", key, dtype_name, mesh, shape, use_pallas)
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
         from ..entropy import device_codec as DC
-        encode_one = band_ops.make_encode(key, dtype_name)
+        encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
 
         def step(bands):
             levels = jax.vmap(encode_one)(bands)          # (B, N, L)
@@ -221,7 +237,8 @@ def compress_batch(images, config: Configuration, mesh,
         from ..entropy import MAX_AMP
         dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
         fn = _batch_stream_fn(band_ops.config_key(config), dt.name, mesh,
-                              tuple(bands.shape))
+                              tuple(bands.shape),
+                              _mesh_pallas(mesh, dt, config.transform))
         stream, band_bytes, mx = fn(jnp.asarray(bands))
         if int(mx) > MAX_AMP:
             raise BadRleCodeError(
@@ -264,10 +281,11 @@ def decompress_batch(blobs: Sequence[bytes], mesh, dtype=None) -> np.ndarray:
 
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
     key = band_ops.config_key(config)
-    cache_key = ("dec", key, dt.name, mesh, levels.shape)
+    pal = _mesh_pallas(mesh, dt, config.transform)
+    cache_key = ("dec", key, dt.name, mesh, levels.shape, pal)
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
-        decode_one = band_ops.make_decode(key, dt.name)
+        decode_one = band_ops.make_decode(key, dt.name, pal)
         fn = jax.jit(jax.vmap(decode_one),
                      in_shardings=mesh_lib.levels_sharding(
                          mesh, levels.shape))
