@@ -16,13 +16,26 @@ from ..config import Configuration, QuantizationMethod
 def compress(input_fname: str, output_fname: str, block_size: int = 4,
              dct_size: int = 8, transform: str = "DCT",
              quantization: Optional[QuantizationMethod] = None,
-             dtype=None) -> None:
+             dtype=None, mesh: bool = False) -> None:
     from PIL import Image
     im = Image.open(input_fname).convert("YCbCr")
     config = Configuration(width=im.width, height=im.height,
                            block_size=block_size, dct_size=dct_size,
                            transform=transform, quantization=quantization)
-    compressed = Jpeg(config, dtype=dtype).compress(im)
+    if mesh:
+        # Row-band tiling over every available device; identical bytes to
+        # the single-device path (byte-aligned bitstream stitch).
+        import numpy as np
+        from .. import container, parallel
+        from ..container import CompressedData
+        m = parallel.make_mesh()
+        arr = np.asarray(im)
+        bands = [parallel.compress_plane(arr[:, :, i].astype(np.int32),
+                                         config, m, dtype=dtype)
+                 for i in range(3)]
+        compressed = container.generate_data(config, CompressedData(*bands))
+    else:
+        compressed = Jpeg(config, dtype=dtype).compress(im)
     with open(output_fname, "wb") as f:
         f.write(compressed)
 
@@ -52,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "(quantization == 'divide')")
     parser.add_argument("--dtype", action="store", type=str, default=None,
                         help="compute dtype override (float32/float64)")
+    parser.add_argument("--mesh", action="store_true",
+                        help="row-band-tile each band over all devices")
     return parser
 
 
@@ -71,7 +86,8 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     compress(args.infile, args.outfile, block_size=args.block_size,
              dct_size=args.dct_size, transform=args.transform,
-             quantization=quantization_from_args(args), dtype=args.dtype)
+             quantization=quantization_from_args(args), dtype=args.dtype,
+             mesh=args.mesh)
 
 
 if __name__ == "__main__":

@@ -100,3 +100,13 @@ def test_stage_timer_and_metrics_report():
     assert d["compression_ratio"] == 6.0
     assert d["mean_psnr_db"] == 40.0
     assert abs(m.megapixels_per_s - 0.02) < 1e-9
+
+
+def test_compress_cli_mesh_flag_identical_bytes(tmp_path):
+    from jpeg_tpu.cli import compress as C
+    _write_png(tmp_path / "img.png", 32, 48)
+    C.main([str(tmp_path / "img.png"), str(tmp_path / "a.jc"),
+            "--block_size", "2"])
+    C.main([str(tmp_path / "img.png"), str(tmp_path / "b.jc"),
+            "--block_size", "2", "--mesh"])
+    assert (tmp_path / "a.jc").read_bytes() == (tmp_path / "b.jc").read_bytes()
