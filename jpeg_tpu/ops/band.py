@@ -60,8 +60,11 @@ def make_encode(key: Tuple, dtype_name: str,
     L = d * d
     use_pallas = use_pallas and transform == "DCT"
     if use_pallas:
-        op_t = T.encode_operator(d).T.copy()
-        mul_v, div_v, mask_v = Q.epilogue_vectors(method, d)
+        # Pack P blocks per matmul row -> contraction dim P*L fills the MXU.
+        pack = PK.pack_factor(L)
+        op_t = np.kron(np.eye(pack), T.encode_operator(d).T)
+        mul_v, div_v, mask_v = (np.tile(v, pack)
+                                for v in Q.epilogue_vectors(method, d))
 
     def f(band):
         a = band
@@ -80,10 +83,18 @@ def make_encode(key: Tuple, dtype_name: str,
             else:
                 vecs = blk.reshape(nv * nh, L)
                 if use_pallas:
-                    return PK.encode_blocks(
-                        vecs, jnp.asarray(op_t, jnp.float32),
+                    n_blocks = nv * nh
+                    n_grp = -(-n_blocks // pack)
+                    if n_grp * pack != n_blocks:
+                        vecs = jnp.concatenate(
+                            [vecs, jnp.zeros((n_grp * pack - n_blocks, L),
+                                             vecs.dtype)], axis=0)
+                    packed = PK.encode_blocks(
+                        vecs.reshape(n_grp, pack * L),
+                        jnp.asarray(op_t, jnp.float32),
                         jnp.asarray(mul_v), jnp.asarray(div_v),
                         jnp.asarray(mask_v))
+                    return packed.reshape(n_grp * pack, L)[:n_blocks]
                 coeffs = T.dct2_zigzag(vecs, d)
         elif transform == "DFT":
             blocks3 = blk.reshape(nv * nh, d, d)
@@ -119,13 +130,23 @@ def make_decode(key: Tuple, dtype_name: str,
     deq_v = Q.dequant_int_vector(method, d)
     use_pallas = use_pallas and transform == "DCT" and deq_v is not None
     if use_pallas:
-        w_t = T.decode_operator(d).T.copy()
+        pack = PK.pack_factor(L)
+        w_t = np.kron(np.eye(pack), T.decode_operator(d).T)
+        deq_v = np.tile(deq_v, pack)
 
     def f(levels):
         if use_pallas:
-            pix = PK.decode_blocks(levels.astype(jnp.int32),
+            n_blocks = nv * nh
+            n_grp = -(-n_blocks // pack)
+            lv = levels.astype(jnp.int32)
+            if n_grp * pack != n_blocks:
+                lv = jnp.concatenate(
+                    [lv, jnp.zeros((n_grp * pack - n_blocks, L), jnp.int32)],
+                    axis=0)
+            pix = PK.decode_blocks(lv.reshape(n_grp, pack * L),
                                    jnp.asarray(w_t, jnp.float32),
                                    jnp.asarray(deq_v))
+            pix = pix.reshape(n_grp * pack, L)[:n_blocks]
             plane = B.deblockify(pix.reshape(nv, nh, d, d))
             plane = B.crop(plane, cfg.subsampled_height, cfg.subsampled_width)
             plane = B.inflate(plane, bs)

@@ -28,6 +28,17 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024  # block rows per grid step; TILE*L*4B << VMEM for any real d
 
 
+def pack_factor(L: int) -> int:
+    """Blocks packed per matmul row so the contraction dim fills the MXU.
+
+    The per-block operator contracts over L = d*d (64 for d=8), wasting the
+    128-wide systolic array.  Packing P = 128//L blocks per row with a
+    block-diagonal kron(I_P, M) operator makes the contraction dim P*L = 128
+    with zero extra FLOPs (the off-diagonal zeros are never materialized as
+    work the MXU wouldn't already burn)."""
+    return max(1, 128 // L)
+
+
 def _interpret() -> bool:
     import os
     if os.environ.get("JPEG_TPU_PALLAS") == "interpret":
@@ -36,22 +47,26 @@ def _interpret() -> bool:
 
 
 def _encode_kernel(x_ref, opt_ref, mul_ref, div_ref, mask_ref, out_ref):
+    # HIGHEST: full-f32 accumulation (3-pass bf16) — pixel blocks reach
+    # 255*d*d and default precision would truncate coefficient mantissas.
     coeffs = jnp.dot(x_ref[:], opt_ref[:],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     q = jnp.round(coeffs * mul_ref[:] / div_ref[:]) * mask_ref[:]
     out_ref[:] = q.astype(jnp.int32)
 
 
 def _decode_kernel(lv_ref, wt_ref, deq_ref, out_ref):
     deq = (lv_ref[:] * deq_ref[:]).astype(jnp.float32)
-    pix = jnp.dot(deq, wt_ref[:], preferred_element_type=jnp.float32)
+    pix = jnp.dot(deq, wt_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     # BasisChange.invert rounds first (reference basis_change.py:43), then
     # Normalization.invert clamps (reference normalization.py:10-14).
     out_ref[:] = jnp.clip(jnp.round(pix), 0.0, 255.0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def encode_blocks(blocks_vec, op_t, mul, div, mask, interpret=False):
+def encode_blocks(blocks_vec, op_t, mul, div, mask, interpret=None):
     """(N, L) f32 pixel blocks -> (N, L) int32 quantized zigzag levels.
 
     Args:
@@ -60,6 +75,8 @@ def encode_blocks(blocks_vec, op_t, mul, div, mask, interpret=False):
         (ops/transform.py:encode_operator).
       mul, div, mask: (L,) quantizer epilogue vectors in zigzag order.
     """
+    if interpret is None:
+        interpret = _interpret()
     n, L = blocks_vec.shape
     vecs2 = lambda v: v.reshape(1, L).astype(jnp.float32)
     grid = pl.cdiv(n, TILE)
@@ -85,7 +102,7 @@ def encode_blocks(blocks_vec, op_t, mul, div, mask, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def decode_blocks(levels, w_t, deq, interpret=False):
+def decode_blocks(levels, w_t, deq, interpret=None):
     """(N, L) int32 levels -> (N, L) int32 clamped pixel blocks.
 
     Args:
@@ -93,6 +110,8 @@ def decode_blocks(levels, w_t, deq, interpret=False):
         (ops/transform.py:decode_operator).
       deq: (L,) int32 dequantization multiplier in zigzag order.
     """
+    if interpret is None:
+        interpret = _interpret()
     n, L = levels.shape
     grid = pl.cdiv(n, TILE)
     return pl.pallas_call(

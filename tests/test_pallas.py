@@ -91,3 +91,30 @@ def test_decode_roundtrip_quality():
                               interpret=True)
     recon = PK.decode_blocks(levels, wt, _deq_vector(method), interpret=True)
     assert np.abs(np.asarray(recon) - blocks).max() <= 1.0
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_packed_band_encode_decode_matches_xla(d):
+    """MXU packing (P blocks per row) through make_encode/make_decode must
+    equal the XLA f32 path exactly, including ragged pack groups."""
+    import jax
+    from jpeg_tpu.config import Configuration
+    from jpeg_tpu.ops import band as band_ops
+
+    w = d * 2 * 5 + 3            # ragged geometry
+    h = d * 2 * 3 + 1
+    cfg = Configuration(width=w, height=h, block_size=2, dct_size=d,
+                        quantization=QuantizationMethod("divide", divisor=40))
+    key = band_ops.config_key(cfg)
+    band = RNG.integers(0, 256, (h, w)).astype(np.int32)
+
+    f_xla = jax.jit(band_ops.make_encode(key, "float32", use_pallas=False))
+    f_pal = jax.jit(band_ops.make_encode(key, "float32", use_pallas=True))
+    lv_x = np.asarray(f_xla(band))
+    lv_p = np.asarray(f_pal(band))
+    np.testing.assert_array_equal(lv_p, lv_x)
+
+    g_xla = jax.jit(band_ops.make_decode(key, "float32", use_pallas=False))
+    g_pal = jax.jit(band_ops.make_decode(key, "float32", use_pallas=True))
+    np.testing.assert_array_equal(np.asarray(g_pal(lv_x)),
+                                  np.asarray(g_xla(lv_x)))
