@@ -106,6 +106,18 @@ def main() -> None:
     mps = IMG_H * IMG_W / dt / 1e6
     log(f"encode: {dt * 1e3:.1f} ms best-of-{REPS} -> {mps:.1f} MP/s")
 
+    # Decode throughput (reported on stderr; encode stays the headline).
+    from jpeg_tpu import decompress_to_ycbcr
+    decompress_to_ycbcr(blob)  # warm
+    dtimes = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        decompress_to_ycbcr(blob)
+        dtimes.append(time.perf_counter() - t0)
+    ddt = min(dtimes)
+    log(f"decode: {ddt * 1e3:.1f} ms best-of-{REPS} "
+        f"-> {IMG_H * IMG_W / ddt / 1e6:.1f} MP/s")
+
     base_band = measure_reference_band_mps()
     base_img = base_band / 3.0  # reference does 3 serial band passes per image
     log(f"reference baseline: {base_band:.4f} band MP/s "
