@@ -46,5 +46,9 @@ def encode_levels(levels: np.ndarray) -> bytes:
 def decode_levels(data: bytes, num_blocks: int, L: int) -> np.ndarray:
     nat = _get_native()
     if nat is not None:
+        # Note: decode_levels_mt (scan + thread-parallel ranges) exists but
+        # loses to serial here — the boundary scan is ~75% of a full decode
+        # with the word-window bit reader, so Amdahl caps the win below the
+        # thread overhead.  Bands already decode in parallel at the caller.
         return nat.decode_levels(data, num_blocks, L)
     return numpy_codec.decode_levels(data, num_blocks, L)
