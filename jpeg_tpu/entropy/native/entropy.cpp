@@ -44,12 +44,20 @@ struct BitWriter {
 
     inline void put(uint32_t value, int nbits) {
         if (((bitpos + nbits + 7) >> 3) > capacity) { overflow = true; return; }
-        // write MSB-first
-        for (int i = nbits - 1; i >= 0; --i) {
-            if ((value >> i) & 1u)
-                buf[bitpos >> 3] |= uint8_t(0x80u >> (bitpos & 7));
-            ++bitpos;
+        if (nbits == 0) return;
+        // Word-window deposit, MSB-first: position the value inside the
+        // byte window covering [bitpos, bitpos+nbits) and OR it in (the
+        // buffer is zero-initialized and fields never overlap).
+        int64_t byte0 = bitpos >> 3;
+        int off = int(bitpos & 7);
+        int need = off + nbits;                // <= 7 + 32
+        int nb = (need + 7) >> 3;
+        uint64_t w = uint64_t(value) << (int64_t(nb) * 8 - need);
+        for (int i = nb - 1; i >= 0; --i) {
+            buf[byte0 + i] |= uint8_t(w & 0xFFu);
+            w >>= 8;
         }
+        bitpos += nbits;
     }
     inline void align_byte() { bitpos = (bitpos + 7) & ~int64_t(7); }
 };

@@ -110,3 +110,13 @@ def test_compress_cli_mesh_flag_identical_bytes(tmp_path):
     C.main([str(tmp_path / "img.png"), str(tmp_path / "b.jc"),
             "--block_size", "2", "--mesh"])
     assert (tmp_path / "a.jc").read_bytes() == (tmp_path / "b.jc").read_bytes()
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+    from jpeg_tpu.utils.profiling import trace
+    with trace(str(tmp_path / "tr")):
+        jnp.arange(8).sum().block_until_ready()
+    assert any((tmp_path / "tr").rglob("*")), "no trace output written"
+    with trace(None):   # disabled path is a no-op
+        pass
