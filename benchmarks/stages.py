@@ -58,9 +58,9 @@ def main() -> None:
     t = StageTimer()
     enc_levels = api._encode3_fn(key, dt.name, pal)
     for _ in range(reps):
-        with t.stage("h2d+coeff (levels fn)"):
+        with t.stage("h2d+coeff (levels fn)") as s:
             lv16, mx = enc_levels(planes)
-            jax.block_until_ready(mx)
+            s.fence(mx)
         with t.stage("d2h levels int16"):
             lv = np.asarray(lv16)
         with t.stage("host entropy encode"):

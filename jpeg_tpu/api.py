@@ -201,8 +201,9 @@ def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
     # long first compile, which only pays off for long-lived processes.
     import os
     if os.environ.get("JPEG_TPU_DEVICE_DECODE") and _use_device_entropy():
-        from .entropy import native_codec
-        if native_codec.available():
+        # _get_native honors JPEG_TPU_NO_NATIVE, unlike importing
+        # native_codec directly.
+        if entropy._get_native() is not None:
             return _decompress_device(config, data, dt, pal).transpose(1, 2, 0)
     nb, L = config.num_blocks, config.dct_size ** 2
     with ThreadPoolExecutor(max_workers=3) as pool:

@@ -36,7 +36,17 @@ def _get_native():
 
 
 def encode_levels(levels: np.ndarray) -> bytes:
-    levels = np.ascontiguousarray(np.asarray(levels), dtype=np.int32)
+    levels = np.asarray(levels)
+    if levels.dtype.kind not in "iu":
+        raise TypeError(f"levels must be integer, got {levels.dtype}")
+    if levels.size and (levels.dtype.itemsize > 4
+                        and (np.abs(levels) > MAX_AMP).any()):
+        # Validate BEFORE the int32 narrowing below — a wrapped value would
+        # otherwise encode a valid-looking but wrong stream.
+        from ..config import BadRleCodeError
+        raise BadRleCodeError(
+            f"amplitude {int(np.abs(levels).max())} exceeds {MAX_AMP}")
+    levels = np.ascontiguousarray(levels, dtype=np.int32)
     nat = _get_native()
     if nat is not None:
         return nat.encode_levels(levels)

@@ -84,8 +84,10 @@ def compress_plane_distributed(plane, config: Configuration,
         np.asarray(plane), flat.mesh, P(mesh_lib.BAND_AXIS, None))
 
     dt = np.dtype(band_ops.default_dtype())
-    fn = sharded._plane_encode_fn(band_ops.config_key(config), dt.name,
-                                  flat.mesh, tuple(global_plane.shape))
+    fn = sharded._plane_encode_fn(
+        band_ops.config_key(config), dt.name, flat.mesh,
+        tuple(global_plane.shape),
+        sharded._mesh_pallas(flat.mesh, dt, config.transform))
     levels = fn(global_plane)
 
     # Host-local entropy over this host's block rows.

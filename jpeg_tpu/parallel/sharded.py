@@ -230,7 +230,9 @@ def compress_batch(images, config: Configuration, mesh,
     bands = images.transpose(0, 3, 1, 2).reshape(
         b * 3, images.shape[1], images.shape[2])
     if device_entropy is None:
-        device_entropy = jax.default_backend() == "tpu"
+        import os
+        device_entropy = (jax.default_backend() == "tpu"
+                          and not os.environ.get("JPEG_TPU_HOST_ENTROPY"))
 
     if device_entropy:
         from ..config import BadRleCodeError

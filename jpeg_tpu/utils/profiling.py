@@ -19,12 +19,27 @@ from typing import Dict, Iterator, Optional
 import jax
 
 
+class _StageScope:
+    """Registers values to fence (block_until_ready) when the stage exits."""
+
+    def __init__(self) -> None:
+        self._pending = []
+
+    def fence(self, value):
+        """Mark device value(s) whose completion this stage must include."""
+        self._pending.append(value)
+        return value
+
+
 class StageTimer:
     """Accumulates wall time per named stage.
 
+    Register device outputs on the yielded scope so the stage includes their
+    execution (async dispatch otherwise returns immediately):
+
     >>> t = StageTimer()
-    >>> with t.stage("dct"):
-    ...     out = fn(x)   # device work fenced on exit
+    >>> with t.stage("dct") as s:
+    ...     out = s.fence(fn(x))   # blocked on at stage exit
     """
 
     def __init__(self) -> None:
@@ -32,13 +47,14 @@ class StageTimer:
         self.counts: Dict[str, int] = {}
 
     @contextlib.contextmanager
-    def stage(self, name: str, fence=None) -> Iterator[None]:
+    def stage(self, name: str) -> Iterator[_StageScope]:
+        scope = _StageScope()
         t0 = time.perf_counter()
         try:
-            yield
+            yield scope
         finally:
-            if fence is not None:
-                jax.block_until_ready(fence)
+            for v in scope._pending:
+                jax.block_until_ready(v)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

@@ -67,3 +67,11 @@ def test_amplitude_at_limit_roundtrips():
     out = decompress_to_ycbcr(compress_ycbcr(img, cfg))
     assert out.shape == img.shape
     assert np.abs(out.astype(int) - 200).max() <= 2
+
+
+def test_encode_levels_rejects_int64_overrange():
+    from jpeg_tpu import entropy
+    with pytest.raises(BadRleCodeError):
+        entropy.encode_levels(np.array([[2 ** 32, 1]], dtype=np.int64))
+    with pytest.raises(TypeError):
+        entropy.encode_levels(np.array([[1.5]]))

@@ -89,8 +89,9 @@ def test_stage_timer_and_metrics_report():
     t = StageTimer()
     with t.stage("x"):
         pass
-    with t.stage("x"):
-        pass
+    import jax.numpy as jnp
+    with t.stage("x") as s:
+        s.fence(jnp.arange(4).sum())
     assert t.counts["x"] == 2 and t.totals["x"] >= 0
     assert "x" in str(t)
 
