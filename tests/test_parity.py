@@ -150,3 +150,42 @@ def test_rle_tuple_parity():
         expected = step.execute(arr)
     got = TU.encode_levels_to_tuples(arr.reshape(6, 16))
     assert got == expected
+
+
+@pytest.mark.parametrize("trial", range(18))
+def test_fuzz_config_parity(trial):
+    """Randomized configs x random images: byte parity both directions."""
+    rng = np.random.default_rng(7000 + trial)
+    w = int(rng.integers(1, 40))
+    h = int(rng.integers(1, 40))
+    bs = int(rng.integers(1, 6))
+    d = int(rng.choice([1, 2, 3, 4, 5, 8, 12]))
+    tr = str(rng.choice(["DCT", "DCT", "DCT", "DFT"]))
+    qname = str(rng.choice(["none", "discard", "divide", "qtable"]))
+    if qname == "qtable":
+        d = 8
+    q = None
+    if qname == "discard":
+        q = ("discard", {"keep": int(rng.integers(1, d + 1))})
+    elif qname == "divide":
+        q = ("divide", {"divisor": int(rng.choice([2, 13, 40, 129, 1000]))})
+    elif qname == "qtable":
+        q = ("qtable", {})
+    ref, rcfg, ocfg = _pair(w, h, bs, d, tr, q)
+    a = rng.integers(0, 256, size=(h, w)).astype(np.int64)
+    import util as ref_util  # reference module (sys.path added by oracle)
+    from jpeg_tpu.config import BadRleCodeError
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        try:
+            ref_bytes = ref.pipeline.compress_band(a.copy(), rcfg)
+        except ref_util.BadRleCodeError:
+            # Unrepresentable amplitude (>16383): we must reject it too.
+            with pytest.raises(BadRleCodeError):
+                compress_band(a, ocfg)
+            return
+        assert compress_band(a, ocfg) == ref_bytes, (w, h, bs, d, tr, q)
+        ref_plane = np.asarray(
+            ref.pipeline.decompress_band(ref_bytes, rcfg)).reshape(h, w)
+        assert np.array_equal(np.asarray(decompress_band(ref_bytes, ocfg)),
+                              ref_plane), (w, h, bs, d, tr, q)
