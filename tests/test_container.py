@@ -55,3 +55,31 @@ def test_dims_exceeding_u16_rejected():
     from jpeg_tpu.config import BadArrayShapeError
     with pytest.raises(BadArrayShapeError):
         Configuration(width=70000, height=8)
+
+
+def test_truncated_container_raises():
+    import struct
+    from jpeg_tpu import container
+    from jpeg_tpu.config import Configuration, QuantizationMethod
+    cfg = Configuration(width=8, height=8, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    blob = container.generate_data(
+        cfg, container.CompressedData(b"\x00" * 5, b"\x00" * 3, b"\x00" * 2))
+    # Truncations inside the header or band-length fields must raise
+    # struct.error (not silently misparse).
+    for cut in (1, 3, 10, 14):
+        with pytest.raises(struct.error):
+            container.read_data(blob[:cut])
+
+
+def test_container_with_short_band_payload():
+    from jpeg_tpu import container
+    from jpeg_tpu.config import Configuration, QuantizationMethod
+    cfg = Configuration(width=8, height=8, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    blob = container.generate_data(
+        cfg, container.CompressedData(b"\x01\x02", b"\x03", b"\xaa\xbb"))
+    # Band payload shorter than its declared length: reader returns what is
+    # present; the entropy decoder downstream rejects the truncated stream.
+    got_cfg, data = container.read_data(blob[:-1])
+    assert data.cr == b"\xaa"

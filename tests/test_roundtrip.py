@@ -97,3 +97,24 @@ def test_deterministic_bitstream():
     config = Configuration(width=56, height=40, block_size=2, dct_size=8,
                            quantization=QuantizationMethod("qtable"))
     assert compress_band(a, config) == compress_band(a, config)
+
+
+def test_fast_mode_f32_quality_matches_parity_mode():
+    """The f32 fast path may differ from f64 only at half-integer rounding
+    edges; reconstructions must be visually identical (tiny, sparse diffs)."""
+    from jpeg_tpu import compress_ycbcr, decompress_to_ycbcr, psnr
+    y, x = np.mgrid[0:64, 0:96]
+    img = np.clip(np.stack([128 + 70 * np.sin(x / 9.0) * np.cos(y / 7.0),
+                            128 + 50 * np.cos(x / 13.0),
+                            128 + 50 * np.sin(y / 11.0)], -1),
+                  0, 255).astype(np.uint8)
+    cfg = Configuration(width=96, height=64, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    out64 = decompress_to_ycbcr(compress_ycbcr(img, cfg, dtype=np.float64),
+                                dtype=np.float64)
+    out32 = decompress_to_ycbcr(compress_ycbcr(img, cfg, dtype=np.float32),
+                                dtype=np.float32)
+    diff = np.abs(out64.astype(int) - out32.astype(int))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.005            # <0.5% of pixels
+    assert psnr(out64, out32) > 45
