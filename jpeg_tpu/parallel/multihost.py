@@ -49,14 +49,6 @@ def global_mesh(data: Optional[int] = None,
     return mesh_lib.make_mesh(data=data, band=band)
 
 
-def _local_block_rows(config: Configuration, nproc: int, pid: int):
-    """Contiguous block-row range [lo, hi) owned by host ``pid``."""
-    rows = config.blocks_high
-    per = -(-rows // nproc)
-    lo = min(pid * per, rows)
-    return lo, min(lo + per, rows)
-
-
 def compress_plane_distributed(plane, config: Configuration,
                                mesh=None) -> bytes:
     """Row-band compress across all hosts; every host returns the full
@@ -64,19 +56,16 @@ def compress_plane_distributed(plane, config: Configuration,
 
     Args:
       plane: on a single process, the full (H, W) band.  On multiple
-        processes, the host-local row slice (rows split by block-row range,
-        ``_local_block_rows`` x block_size*dct_size image rows each).
+        processes, the host-local row slice (this host's share of image
+        rows, split on block-row boundaries).
     """
     nproc = jax.process_count()
     if mesh is None:
         mesh = global_mesh()
-    if nproc == 1:
-        return sharded.compress_plane(plane, config, mesh)
 
     from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    pid = jax.process_index()
     # Host-local rows -> one global sharded array (no host ever holds it all).
     flat = mesh_lib.plane_sharding(mesh, (config.coeff_height * config.block_size,
                                           config.width))
@@ -90,21 +79,27 @@ def compress_plane_distributed(plane, config: Configuration,
         sharded._mesh_pallas(flat.mesh, dt, config.transform))
     levels = fn(global_plane)
 
-    # Host-local entropy over this host's block rows.
-    lo, hi = _local_block_rows(config, nproc, pid)
-    nw = config.blocks_wide
-    local_levels = np.asarray(
-        multihost_utils.process_allgather(levels)  # small bands; simple path
-    )[lo * nw:hi * nw]
+    # Host-local entropy over exactly the block rows this host's devices
+    # hold: no host ever materializes the full coefficient tensor.  The
+    # addressable shards of the jit output are contiguous row ranges.
+    seen = {}
+    for sh in levels.addressable_shards:
+        seen.setdefault(sh.index[0].start or 0, np.asarray(sh.data))
+    shards = sorted(seen.items())
+    local_start = shards[0][0]
+    local_levels = np.concatenate([d for _, d in shards], axis=0)
     local_stream = entropy.encode_levels(local_levels)
 
-    # All-gather (length, padded bytes) and stitch in process order.
-    lengths = multihost_utils.process_allgather(
-        jnp.asarray([len(local_stream)], jnp.int32)).reshape(-1)
-    cap = int(lengths.max())
+    # All-gather (global start row, length, padded bytes); stitch sorted by
+    # global block order, which byte-aligned blocks make bit-exact.
+    meta = multihost_utils.process_allgather(
+        jnp.asarray([local_start, len(local_stream)], jnp.int32))
+    meta = np.asarray(meta).reshape(nproc, 2)
+    cap = int(meta[:, 1].max())
     padded = np.zeros(cap, np.uint8)
     padded[:len(local_stream)] = np.frombuffer(local_stream, np.uint8)
     streams = np.asarray(multihost_utils.process_allgather(
         jnp.asarray(padded))).reshape(nproc, cap)
+    order = np.argsort(meta[:, 0], kind="stable")
     return sharded.stitch_streams(
-        [streams[p, :int(lengths[p])].tobytes() for p in range(nproc)])
+        [streams[p, :int(meta[p, 1])].tobytes() for p in order])

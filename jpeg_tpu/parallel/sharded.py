@@ -66,13 +66,21 @@ def _batch_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
 
 def _plane_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
                      use_pallas: bool = False):
-    """Jitted (H, W) -> (N, L) levels with rows sharded over all devices."""
+    """Jitted (H, W) -> (N, L) levels with rows sharded over all devices.
+
+    The output is explicitly sharded over block rows (same flat mesh) so
+    downstream per-shard entropy sees contiguous block ranges per device."""
     cache_key = (key, dtype_name, mesh, shape, use_pallas)
     fn = _PLANE_FNS.get(cache_key)
     if fn is None:
+        h, w, bs, d, transform, qname, qparams = key
+        cfg = Configuration(width=w, height=h, block_size=bs, dct_size=d,
+                            transform=transform)
         encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
-        fn = jax.jit(encode_one,
-                     in_shardings=mesh_lib.plane_sharding(mesh, shape))
+        in_sh = mesh_lib.plane_sharding(mesh, shape)
+        out_sh = mesh_lib.plane_sharding(
+            mesh, (cfg.num_blocks, d * d))
+        fn = jax.jit(encode_one, in_shardings=in_sh, out_shardings=out_sh)
         _PLANE_FNS[cache_key] = fn
     return fn
 
