@@ -177,3 +177,22 @@ def test_compress_batch_device_entropy_matches_host():
     host_blobs = parallel.compress_batch(imgs, cfg, mesh, device_entropy=False)
     dev_blobs = parallel.compress_batch(imgs, cfg, mesh, device_entropy=True)
     assert dev_blobs == host_blobs
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("JPEG_TPU_BIG_TESTS"),
+                    reason="set JPEG_TPU_BIG_TESTS=1 for 4K-scale tests")
+def test_4k_batch_rowband_stitch():
+    # BASELINE.json config 5: 4K image set through the sharded mesh path.
+    cfg = Configuration(width=3840, height=2160, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    mesh = parallel.make_mesh(8)
+    y, x = np.mgrid[0:2160, 0:3840]
+    plane = np.clip(128 + 80 * np.sin(x / 41.0) * np.cos(y / 29.0),
+                    0, 255).astype(np.int32)
+    got = parallel.compress_plane(plane, cfg, mesh, dtype=np.float32)
+    want = entropy.encode_levels(
+        np.asarray(encode_band_levels(plane, cfg, dtype=np.float32)))
+    assert got == want
+    imgs = np.repeat(plane[None, :, :, None], 3, axis=3).astype(np.uint8)[:1]
+    blobs = parallel.compress_batch(imgs, cfg, mesh, dtype=np.float32)
+    assert blobs[0] == compress_ycbcr(imgs[0], cfg, dtype=np.float32)
