@@ -87,18 +87,7 @@ def _encode3_stream_fn(key, dtype_name: str, use_pallas: bool):
     return jax.jit(f)
 
 
-def _pull_prefix(dev_u8, nbytes: int) -> bytes:
-    """Transfer only the used prefix of a device byte buffer.
-
-    Slice lengths are rounded up to powers of two so the number of distinct
-    slice executables (each a fresh XLA compile) stays logarithmic.
-    """
-    n = int(nbytes)
-    cap = dev_u8.shape[0]
-    nr = 4096
-    while nr < n:
-        nr <<= 1
-    return np.asarray(dev_u8[:min(nr, cap)])[:n].tobytes()
+from .utils.device import pull_prefix as _pull_prefix  # shared helper
 
 
 @functools.lru_cache(maxsize=None)
@@ -134,10 +123,9 @@ def _decompress_device(config: Configuration, data: CompressedData, dt, pal):
     for s in streams:
         starts.append(native_codec.scan_offsets(s, nb, L) + off)
         off += len(s)
+    from .utils.device import pow2_cap
     buf = b"".join(streams)
-    pad = 4096
-    while pad < len(buf):
-        pad <<= 1
+    pad = pow2_cap(len(buf))
     arr = np.zeros(pad, np.uint8)
     arr[:len(buf)] = np.frombuffer(buf, np.uint8)
     fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad)

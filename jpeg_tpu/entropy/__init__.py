@@ -39,8 +39,9 @@ def encode_levels(levels: np.ndarray) -> bytes:
     levels = np.asarray(levels)
     if levels.dtype.kind not in "iu":
         raise TypeError(f"levels must be integer, got {levels.dtype}")
-    if levels.size and (levels.dtype.itemsize > 4
-                        and (np.abs(levels) > MAX_AMP).any()):
+    wide = (levels.dtype.itemsize > 4
+            or (levels.dtype.kind == "u" and levels.dtype.itemsize >= 4))
+    if levels.size and wide and (np.abs(levels) > MAX_AMP).any():
         # Validate BEFORE the int32 narrowing below — a wrapped value would
         # otherwise encode a valid-looking but wrong stream.
         from ..config import BadRleCodeError

@@ -50,13 +50,25 @@ def make_mesh(n_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
-        n_devices = len(devices) if data is None else (data * (band or 1))
+        if data is not None and band is not None:
+            n_devices = data * band
+        else:
+            n_devices = len(devices)
     if len(devices) < n_devices:
         raise ValueError(
             f"requested {n_devices} devices but only {len(devices)} available")
     devices = list(devices)[:n_devices]
-    if data is None or band is None:
-        data, band = factorize(len(devices))
+    n = len(devices)
+    if data is None and band is None:
+        data, band = factorize(n)
+    elif data is None:
+        if n % band:
+            raise ValueError(f"band={band} does not divide {n} devices")
+        data = n // band
+    elif band is None:
+        if n % data:
+            raise ValueError(f"data={data} does not divide {n} devices")
+        band = n // data
     if data * band != len(devices):
         raise ValueError(
             f"mesh {data}x{band} does not match {len(devices)} devices")

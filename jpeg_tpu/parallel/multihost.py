@@ -66,11 +66,17 @@ def compress_plane_distributed(plane, config: Configuration,
     from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    # Host-local rows -> one global sharded array (no host ever holds it all).
-    flat = mesh_lib.plane_sharding(mesh, (config.coeff_height * config.block_size,
-                                          config.width))
+    # Host-local rows -> one global sharded array (no host ever holds it
+    # all).  The global plane is the original image: (height, width).
+    gshape = (config.height, config.width)
+    flat = mesh_lib.plane_sharding(mesh, gshape)
+    spec = mesh_lib.fit_spec(gshape, flat.mesh, P(mesh_lib.BAND_AXIS, None))
+    if nproc > 1 and spec[0] is None:
+        raise ValueError(
+            f"multi-host row-band tiling needs height {config.height} "
+            f"divisible by {flat.mesh.devices.size} devices")
     global_plane = multihost_utils.host_local_array_to_global_array(
-        np.asarray(plane), flat.mesh, P(mesh_lib.BAND_AXIS, None))
+        np.asarray(plane), flat.mesh, spec)
 
     dt = np.dtype(band_ops.default_dtype())
     fn = sharded._plane_encode_fn(
@@ -100,6 +106,13 @@ def compress_plane_distributed(plane, config: Configuration,
     padded[:len(local_stream)] = np.frombuffer(local_stream, np.uint8)
     streams = np.asarray(multihost_utils.process_allgather(
         jnp.asarray(padded))).reshape(nproc, cap)
+    # Stitch in global block order; duplicate start offsets mean replicated
+    # shards (e.g. an unshardable levels tensor) — keep one copy.
     order = np.argsort(meta[:, 0], kind="stable")
-    return sharded.stitch_streams(
-        [streams[p, :int(meta[p, 1])].tobytes() for p in order])
+    parts, last_start = [], None
+    for p in order:
+        if last_start is not None and int(meta[p, 0]) == last_start:
+            continue
+        last_start = int(meta[p, 0])
+        parts.append(streams[p, :int(meta[p, 1])].tobytes())
+    return sharded.stitch_streams(parts)

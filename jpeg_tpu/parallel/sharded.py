@@ -29,6 +29,7 @@ from .. import container, entropy
 from ..config import Configuration
 from ..container import CompressedData
 from ..ops import band as band_ops
+from ..utils.device import pull_prefix
 from . import mesh as mesh_lib
 from . import stats
 
@@ -177,13 +178,25 @@ def compress_plane_device_entropy(plane, config: Configuration, mesh,
         levels = jnp.concatenate(
             [levels, jnp.zeros((n_pad, L), levels.dtype)], axis=0)
 
-    @partial(shard_map, mesh=flat, in_specs=P(mesh_lib.BAND_AXIS, None),
-             out_specs=(P(mesh_lib.BAND_AXIS, None), P(mesh_lib.BAND_AXIS)))
-    def shard_encode(local_levels):
-        buf, blk_bytes = DC.encode_stream(local_levels)
-        return buf[None, :], blk_bytes
+    cache_key = ("shard_entropy", flat, n_padded, L)
+    fn_se = _PLANE_FNS.get(cache_key)
+    if fn_se is None:
+        @partial(shard_map, mesh=flat, in_specs=P(mesh_lib.BAND_AXIS, None),
+                 out_specs=(P(mesh_lib.BAND_AXIS, None),
+                            P(mesh_lib.BAND_AXIS), P()))
+        def shard_encode(local_levels):
+            buf, blk_bytes = DC.encode_stream(local_levels)
+            mx = jax.lax.pmax(jnp.max(jnp.abs(local_levels)),
+                              mesh_lib.BAND_AXIS)
+            return buf[None, :], blk_bytes, mx
+        fn_se = jax.jit(shard_encode)
+        _PLANE_FNS[cache_key] = fn_se
 
-    buf, blk_bytes = jax.jit(shard_encode)(levels)       # (S, worst), (Np,)
+    buf, blk_bytes, mx = fn_se(levels)                   # (S, worst), (Np,)
+    if int(mx) > DC.MAX_AMP:
+        from ..config import BadRleCodeError
+        raise BadRleCodeError(
+            f"amplitude {int(mx)} exceeds the representable {DC.MAX_AMP}")
     blk_bytes = np.asarray(blk_bytes)
     m = n_padded // n_shards
     parts = []
@@ -193,11 +206,7 @@ def compress_plane_device_entropy(plane, config: Configuration, mesh,
         # summing only the real blocks' byte counts.
         lo, hi = s * m, min((s + 1) * m, n_blocks)
         used = int(blk_bytes[lo:hi].sum()) if hi > lo else 0
-        cap = 4096
-        while cap < used:
-            cap <<= 1
-        parts.append(
-            np.asarray(buf[s, :min(cap, buf.shape[1])])[:used].tobytes())
+        parts.append(pull_prefix(buf[s], used))
     return stitch_streams(parts)
 
 
@@ -255,10 +264,7 @@ def compress_batch(images, config: Configuration, mesh,
                 f"amplitude {int(mx)} exceeds the representable {MAX_AMP}")
         bb = np.asarray(band_bytes)
         total = int(bb.sum())
-        cap = 4096
-        while cap < total:
-            cap <<= 1
-        buf = np.asarray(stream[:min(cap, stream.shape[0])])[:total].tobytes()
+        buf = pull_prefix(stream, total)
         offs = np.concatenate([[0], np.cumsum(bb)]).astype(np.int64)
         streams = [buf[offs[i]:offs[i + 1]] for i in range(3 * b)]
     else:

@@ -18,34 +18,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-MAX_RUN = 15
-
-
-def _bit_length(absamp):
-    """Exact bit length of nonnegative int32 values (0 -> 0)."""
-    # frexp on f32 is exact for |amp| <= 16383 << 2**24.
-    _, e = jnp.frexp(absamp.astype(jnp.float32))
-    return jnp.where(absamp > 0, e, 0).astype(jnp.int32)
+from ..entropy.device_codec import MAX_RUN, _geometry
 
 
 def block_bits(levels):
-    """(..., L) zigzag levels -> (...,) exact bit count before byte padding."""
-    nz = levels != 0
-    absamp = jnp.abs(levels)
-    size = _bit_length(absamp) + 1
+    """(..., L) zigzag levels -> (...,) exact bit count before byte padding.
 
-    # Zeros-run before each nonzero: previous nonzero index via running max.
-    L = levels.shape[-1]
-    idx = jnp.arange(L, dtype=jnp.int32)
-    marked = jnp.where(nz, idx, jnp.int32(-1))
-    pmax = jax.lax.associative_scan(jnp.maximum, marked, axis=-1)
-    prev = jnp.concatenate(
-        [jnp.full(pmax.shape[:-1] + (1,), -1, dtype=pmax.dtype),
-         pmax[..., :-1]], axis=-1)
-    run = idx - prev - 1
-
-    group = jnp.where(nz, 8 * (run // MAX_RUN) + 8 + size, 0)
-    return jnp.sum(group, axis=-1) + 8  # + EOB
+    Shares the single geometry implementation with the device encoder
+    (entropy/device_codec.py) so the estimator can never drift from the
+    wire format.
+    """
+    shape = levels.shape
+    flat = levels.reshape(-1, shape[-1])
+    _, _, _, _, _, group_bits = _geometry(flat)
+    return (jnp.sum(group_bits, axis=-1) + 8).reshape(shape[:-1])  # + EOB
 
 
 def block_bytes(levels):

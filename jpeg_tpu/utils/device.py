@@ -1,0 +1,23 @@
+"""Device<->host transfer helpers shared by the API and sharded paths."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def pow2_cap(n: int, floor: int = 4096) -> int:
+    """Smallest power of two >= n (min ``floor``).
+
+    Slice lengths are rounded to powers of two so the number of distinct
+    slice executables (each a fresh XLA compile) stays logarithmic in the
+    observed sizes."""
+    cap = floor
+    while cap < n:
+        cap <<= 1
+    return cap
+
+
+def pull_prefix(dev_u8, nbytes: int) -> bytes:
+    """Transfer only the used prefix of a device byte buffer."""
+    n = int(nbytes)
+    cap = min(pow2_cap(n), dev_u8.shape[0])
+    return np.asarray(dev_u8[:cap])[:n].tobytes()

@@ -75,3 +75,11 @@ def test_encode_levels_rejects_int64_overrange():
         entropy.encode_levels(np.array([[2 ** 32, 1]], dtype=np.int64))
     with pytest.raises(TypeError):
         entropy.encode_levels(np.array([[1.5]]))
+
+
+def test_encode_levels_rejects_uint32_overrange():
+    from jpeg_tpu import entropy
+    bad = np.zeros((1, 4), dtype=np.uint32)
+    bad[0, 0] = 2 ** 32 - 16383     # would wrap to -16383 through int32
+    with pytest.raises(BadRleCodeError):
+        entropy.encode_levels(bad)

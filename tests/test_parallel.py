@@ -196,3 +196,36 @@ def test_4k_batch_rowband_stitch():
     imgs = np.repeat(plane[None, :, :, None], 3, axis=3).astype(np.uint8)[:1]
     blobs = parallel.compress_batch(imgs, cfg, mesh, dtype=np.float32)
     assert blobs[0] == compress_ycbcr(imgs[0], cfg, dtype=np.float32)
+
+
+def test_device_entropy_plane_rejects_overrange():
+    # Confirmed review finding: this path used to emit a silently-corrupt
+    # stream for unrepresentable amplitudes.
+    from jpeg_tpu.config import BadRleCodeError
+    cfg = Configuration(width=48, height=48, block_size=1, dct_size=24,
+                        quantization=QuantizationMethod("none"))
+    mesh = parallel.make_mesh(8)
+    plane = np.full((48, 48), 200, dtype=np.int32)
+    with pytest.raises(BadRleCodeError):
+        parallel.compress_plane_device_entropy(plane, cfg, mesh)
+
+
+def test_multihost_indivisible_height():
+    # height=100 not divisible by 8 devices: fit_spec must fall back to a
+    # replicated dim instead of a sharding error (single-process).
+    from jpeg_tpu.parallel import multihost
+    from jpeg_tpu import entropy as E
+    cfg = _cfg(32, 100, block_size=2)
+    plane = RNG.integers(0, 256, (100, 32), dtype=np.int32)
+    got = multihost.compress_plane_distributed(plane, cfg)
+    want = E.encode_levels(np.asarray(encode_band_levels(plane, cfg)))
+    assert got == want
+
+
+def test_make_mesh_single_axis_honored():
+    mesh = parallel.make_mesh(data=4)
+    assert mesh.devices.shape == (4, 2)
+    mesh2 = parallel.make_mesh(band=2)
+    assert mesh2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        parallel.make_mesh(n_devices=8, data=3)
