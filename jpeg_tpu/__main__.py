@@ -1,0 +1,31 @@
+"""Unified CLI: ``python -m jpeg_tpu {compress|decompress|batch} ...``."""
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m jpeg_tpu {compress|decompress|batch} ...",
+              file=sys.stderr)
+        return 0 if argv else 2
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "compress":
+        from .cli.compress import main as m
+        m(rest)
+        return 0
+    if cmd == "decompress":
+        from .cli.decompress import main as m
+        m(rest)
+        return 0
+    if cmd == "batch":
+        from .cli.batch import main as m
+        return m(rest)
+    print(f"unknown command {cmd!r}; expected compress/decompress/batch",
+          file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -184,11 +184,13 @@ def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
     """Container bytes -> (H, W, 3) uint8 YCbCr image."""
     config, data = container.read_data(bytestream)
     dt, pal = _dt_and_pallas(config, dtype)
-    # Device-side bit parsing is opt-in: it minimizes host->device traffic
-    # (stream bytes instead of levels) but its lockstep-loop XLA graph has a
-    # long first compile, which only pays off for long-lived processes.
+    # Device-side bit parsing (default on TPU): the host does only the
+    # O(bytes) C++ boundary scan and uploads the compressed stream itself —
+    # h2d shrinks from the coefficient levels to the compressed bytes.
+    # JPEG_TPU_DEVICE_DECODE=0 falls back to host entropy decode.
     import os
-    if os.environ.get("JPEG_TPU_DEVICE_DECODE") and _use_device_entropy():
+    if (os.environ.get("JPEG_TPU_DEVICE_DECODE", "1") != "0"
+            and _use_device_entropy()):
         # _get_native honors JPEG_TPU_NO_NATIVE, unlike importing
         # native_codec directly.
         if entropy._get_native() is not None:

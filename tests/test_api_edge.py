@@ -43,7 +43,6 @@ def test_device_decode_path_matches_host(monkeypatch):
     blob = compress_ycbcr(img, cfg)
     host_out = decompress_to_ycbcr(blob)
     monkeypatch.setattr(api, "_use_device_entropy", lambda: True)
-    monkeypatch.setenv("JPEG_TPU_DEVICE_DECODE", "1")
     dev_out = decompress_to_ycbcr(blob)
     np.testing.assert_array_equal(dev_out, host_out)
 

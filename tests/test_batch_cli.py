@@ -121,3 +121,15 @@ def test_profiler_trace_smoke(tmp_path):
     assert any((tmp_path / "tr").rglob("*")), "no trace output written"
     with trace(None):   # disabled path is a no-op
         pass
+
+
+def test_module_main_dispatch(tmp_path, capsys):
+    from jpeg_tpu.__main__ import main
+    _write_png(tmp_path / "img.png", 16, 16)
+    assert main(["compress", str(tmp_path / "img.png"),
+                 str(tmp_path / "o.jc"), "--block_size", "2"]) == 0
+    assert main(["decompress", str(tmp_path / "o.jc"),
+                 str(tmp_path / "r.png")]) == 0
+    assert (tmp_path / "r.png").exists()
+    assert main(["nonsense"]) == 2
+    assert main([]) == 2
