@@ -279,8 +279,14 @@ def compress_batch(images, config: Configuration, mesh,
     return out
 
 
-def decompress_batch(blobs: Sequence[bytes], mesh, dtype=None) -> np.ndarray:
-    """List of container blobs (same config) -> (B, H, W, 3) uint8 batch."""
+def decompress_batch(blobs: Sequence[bytes], mesh, dtype=None,
+                     device_entropy: Optional[bool] = None) -> np.ndarray:
+    """List of container blobs (same config) -> (B, H, W, 3) uint8 batch.
+
+    With device entropy (default on the TPU backend), the host performs only
+    the per-band boundary scans; the concatenated streams upload once and
+    all bit parsing + IDCT runs in a single jitted program.
+    """
     configs_and_data = [container.read_data(b) for b in blobs]
     config = configs_and_data[0][0]
     L = config.dct_size ** 2
@@ -290,6 +296,17 @@ def decompress_batch(blobs: Sequence[bytes], mesh, dtype=None) -> np.ndarray:
         if band_ops.config_key(cfg) != band_ops.config_key(config):
             raise ValueError("decompress_batch requires a homogeneous batch")
         flat_streams.extend([data.y, data.cb, data.cr])
+
+    if device_entropy is None:
+        import os
+        device_entropy = (jax.default_backend() == "tpu"
+                          and not os.environ.get("JPEG_TPU_HOST_ENTROPY")
+                          and os.environ.get("JPEG_TPU_DEVICE_DECODE", "1")
+                          != "0")
+    if device_entropy and entropy._get_native() is not None:
+        return _decompress_batch_device(flat_streams, config, mesh,
+                                        len(blobs), dtype)
+
     with ThreadPoolExecutor(max_workers=min(16, len(flat_streams))) as pool:
         levels = list(pool.map(
             lambda s: entropy.decode_levels(s, nb, L), flat_streams))
@@ -310,3 +327,44 @@ def decompress_batch(blobs: Sequence[bytes], mesh, dtype=None) -> np.ndarray:
     b = len(blobs)
     return planes.reshape(b, 3, config.height, config.width).transpose(
         0, 2, 3, 1).astype(np.uint8)
+
+
+def _decompress_batch_device(flat_streams: List[bytes],
+                             config: Configuration, mesh, b: int,
+                             dtype=None) -> np.ndarray:
+    """Device bit-parse + decode for a homogeneous batch of band streams."""
+    from ..entropy import device_codec as DC
+    from ..entropy import native_codec
+    from ..utils.device import pow2_cap
+
+    nb, L = config.num_blocks, config.dct_size ** 2
+    with ThreadPoolExecutor(max_workers=min(16, len(flat_streams))) as pool:
+        scans = list(pool.map(
+            lambda s: native_codec.scan_offsets(s, nb, L), flat_streams))
+    starts, off = [], 0
+    for s, sc in zip(flat_streams, scans):
+        starts.append(sc + off)
+        off += len(s)
+    buf = b"".join(flat_streams)
+    pad = pow2_cap(len(buf))
+    arr = np.zeros(pad, np.uint8)
+    arr[:len(buf)] = np.frombuffer(buf, np.uint8)
+
+    dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
+    key = band_ops.config_key(config)
+    pal = _mesh_pallas(mesh, dt, config.transform)
+    cache_key = ("dec_stream", key, dt.name, mesh, pad, b, pal)
+    fn = _BATCH_FNS.get(cache_key)
+    if fn is None:
+        decode_one = band_ops.make_decode(key, dt.name, pal)
+
+        def step(stream_u8, starts_all):
+            levels = DC.decode_stream(stream_u8, starts_all, L)
+            planes = jax.vmap(jax.vmap(decode_one))(
+                levels.reshape(b, 3, nb, L))
+            return planes.astype(jnp.uint8)          # (B, 3, H, W)
+
+        fn = jax.jit(step)
+        _BATCH_FNS[cache_key] = fn
+    planes = np.asarray(fn(arr, np.concatenate(starts)))
+    return planes.transpose(0, 2, 3, 1)

@@ -229,3 +229,16 @@ def test_make_mesh_single_axis_honored():
     assert mesh2.devices.shape == (4, 2)
     with pytest.raises(ValueError):
         parallel.make_mesh(n_devices=8, data=3)
+
+
+def test_decompress_batch_device_entropy_matches_host():
+    from jpeg_tpu.entropy import native_codec
+    if not native_codec.available():
+        pytest.skip("native codec unavailable")
+    cfg = _cfg(32, 24, block_size=2)
+    mesh = parallel.make_mesh(8)
+    imgs = RNG.integers(0, 256, (3, 24, 32, 3), dtype=np.uint8)
+    blobs = parallel.compress_batch(imgs, cfg, mesh, device_entropy=False)
+    host = parallel.decompress_batch(blobs, mesh, device_entropy=False)
+    dev = parallel.decompress_batch(blobs, mesh, device_entropy=True)
+    np.testing.assert_array_equal(dev, host)
