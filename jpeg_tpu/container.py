@@ -30,6 +30,51 @@ class CompressedData:
     cr: bytes
 
 
+class Reader:
+    """Sequential byte reader (drop-in for reference file_format.py:5-19)."""
+
+    def __init__(self, seq: bytes):
+        self._seq = seq
+        self._index = 0
+
+    def read(self, n: int) -> bytes:
+        chunk = self._seq[self._index:self._index + n]
+        self._index += n
+        return chunk
+
+    def read_short(self) -> bytes:
+        return self.read(2)
+
+    def read_long(self) -> bytes:
+        return self.read(4)
+
+
+# Field pack/unpack helpers (reference file_format.py:43-64): little-endian
+# u16 ("integer"), u32 ("long"), ASCII strings.
+def pack_integer(value: int) -> bytes:
+    return struct.pack("<H", value)
+
+
+def unpack_integer(bytestream: bytes) -> int:
+    return struct.unpack("<H", bytestream)[0]
+
+
+def pack_long(value: int) -> bytes:
+    return struct.pack("<L", value)
+
+
+def unpack_long(bytestream: bytes) -> int:
+    return struct.unpack("<L", bytestream)[0]
+
+
+def pack_string(s: str) -> bytes:
+    return bytes(s, encoding="ascii")
+
+
+def unpack_string(bytestream: bytes) -> str:
+    return bytestream.decode()
+
+
 def create_header(config: Configuration) -> bytes:
     quant_json = config.quantization.to_json()
     header_length = 2 + 13 + len(quant_json)

@@ -34,6 +34,23 @@ def split_into_blocks(a, block_size: int) -> np.ndarray:
     return np.asarray(B.blockify(jnp.asarray(a), block_size))
 
 
+def extract_nth_block(blocks_column, block_size: int, n: int) -> np.ndarray:
+    """n-th block of a stacked block column (reference util.py:50-52)."""
+    i = n * block_size
+    return np.asarray(blocks_column)[i:i + block_size]
+
+
+def block_columns(a, block_size: int):
+    """Yield (column_index, stacked blocks of that column)
+    (reference util.py:55-65)."""
+    a = np.asarray(a)
+    height, width = a.shape
+    a = a.reshape((height * width // block_size, block_size))
+    stride = width // block_size
+    for j in range(stride):
+        yield j, a[j::stride]
+
+
 def inflate(a, factor: int) -> np.ndarray:
     """Nearest-neighbour upsample by ``factor`` (reference util.py:6-14)."""
     return np.asarray(B.inflate(jnp.asarray(a), factor))

@@ -101,3 +101,26 @@ def test_apply_blockwise_vectorized():
     np.testing.assert_array_equal(res, a * 2)
     got = [(y, x) for _, y, x in step.blocks(a, 4)]
     assert got == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def test_file_format_helper_surface():
+    from jpeg_tpu import container as C
+    assert C.pack_integer(513) == b"\x01\x02"
+    assert C.unpack_integer(b"\x01\x02") == 513
+    assert C.pack_long(70000) == C.pack_long(70000)
+    assert C.unpack_long(C.pack_long(70000)) == 70000
+    assert C.unpack_string(C.pack_string("DCT")) == "DCT"
+    r = C.Reader(b"\x05\x00ABCD\x01\x00\x00\x00")
+    assert C.unpack_integer(r.read_short()) == 5
+    assert r.read(4) == b"ABCD"
+    assert C.unpack_long(r.read_long()) == 1
+
+
+def test_block_columns_match_blockify():
+    from jpeg_tpu.utils import arrays as UA
+    a = np.arange(48).reshape(6, 8)
+    blocks = UA.split_into_blocks(a, 2)
+    for j, col in UA.block_columns(a, 2):
+        for y in range(3):
+            np.testing.assert_array_equal(
+                UA.extract_nth_block(col, 2, y), blocks[y, j])
