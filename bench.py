@@ -102,9 +102,12 @@ def main() -> None:
         t0 = time.perf_counter()
         compress_ycbcr(img, cfg)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    # Mean, matching the reference baseline's mean-over-budget measurement
+    # (a min/mean mix would overstate the speedup).
+    dt = sum(times) / len(times)
     mps = IMG_H * IMG_W / dt / 1e6
-    log(f"encode: {dt * 1e3:.1f} ms best-of-{REPS} -> {mps:.1f} MP/s")
+    log(f"encode: {dt * 1e3:.1f} ms mean-of-{REPS} "
+        f"(best {min(times) * 1e3:.1f}) -> {mps:.1f} MP/s")
 
     # Decode throughput (reported on stderr; encode stays the headline).
     from jpeg_tpu import decompress_to_ycbcr
@@ -114,8 +117,8 @@ def main() -> None:
         t0 = time.perf_counter()
         decompress_to_ycbcr(blob)
         dtimes.append(time.perf_counter() - t0)
-    ddt = min(dtimes)
-    log(f"decode: {ddt * 1e3:.1f} ms best-of-{REPS} "
+    ddt = sum(dtimes) / len(dtimes)
+    log(f"decode: {ddt * 1e3:.1f} ms mean-of-{REPS} "
         f"-> {IMG_H * IMG_W / ddt / 1e6:.1f} MP/s")
 
     base_band = measure_reference_band_mps()

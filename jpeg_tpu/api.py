@@ -155,6 +155,7 @@ def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
     ycbcr = np.asarray(ycbcr)
     if ycbcr.ndim != 3 or ycbcr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) YCbCr array, got {ycbcr.shape}")
+    _band.check_band_shape(ycbcr[:, :, 0], config)
     dt, pal = _dt_and_pallas(config, dtype)
     planes = np.ascontiguousarray(ycbcr.transpose(2, 0, 1))
     if _use_device_entropy():

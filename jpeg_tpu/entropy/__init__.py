@@ -41,12 +41,14 @@ def encode_levels(levels: np.ndarray) -> bytes:
         raise TypeError(f"levels must be integer, got {levels.dtype}")
     wide = (levels.dtype.itemsize > 4
             or (levels.dtype.kind == "u" and levels.dtype.itemsize >= 4))
-    if levels.size and wide and (np.abs(levels) > MAX_AMP).any():
-        # Validate BEFORE the int32 narrowing below — a wrapped value would
-        # otherwise encode a valid-looking but wrong stream.
+    # Validate BEFORE the int32 narrowing below — a wrapped value would
+    # otherwise encode a valid-looking but wrong stream.  Range test, not
+    # np.abs: |int64 min| overflows abs.
+    if levels.size and wide and ((levels > MAX_AMP) | (levels < -MAX_AMP)).any():
         from ..config import BadRleCodeError
         raise BadRleCodeError(
-            f"amplitude {int(np.abs(levels).max())} exceeds {MAX_AMP}")
+            f"amplitude magnitude exceeds {MAX_AMP}: "
+            f"range [{levels.min()}, {levels.max()}]")
     levels = np.ascontiguousarray(levels, dtype=np.int32)
     nat = _get_native()
     if nat is not None:

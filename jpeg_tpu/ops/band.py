@@ -51,9 +51,18 @@ def _config_key(config: Configuration) -> Tuple:
             config.transform, q.name, tuple(sorted(q.params.items())))
 
 
+def _check_dtype_supported(dtype_name: str) -> None:
+    if jnp.dtype(dtype_name) == jnp.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "float64 (parity mode) requires jax_enable_x64; enable it "
+            "before any jax operation, e.g. "
+            'jax.config.update("jax_enable_x64", True) on the CPU backend')
+
+
 def make_encode(key: Tuple, dtype_name: str,
                 use_pallas: bool = False) -> Callable:
     """Pure (unjitted) band -> levels function for a static config key."""
+    _check_dtype_supported(dtype_name)
     h, w, bs, d, transform, qname, qparams = key
     method = QuantizationMethod(qname, **dict(qparams))
     dtype = jnp.dtype(dtype_name)
@@ -119,6 +128,7 @@ def _encode_fn(key: Tuple, dtype_name: str,
 def make_decode(key: Tuple, dtype_name: str,
                 use_pallas: bool = False) -> Callable:
     """Pure (unjitted) levels -> band function for a static config key."""
+    _check_dtype_supported(dtype_name)
     h, w, bs, d, transform, qname, qparams = key
     method = QuantizationMethod(qname, **dict(qparams))
     dtype = jnp.dtype(dtype_name)
@@ -192,8 +202,19 @@ def config_key(config: Configuration) -> Tuple:
     return _config_key(config)
 
 
+def check_band_shape(band, config: Configuration) -> None:
+    """The encoder derives geometry from the array while the header stores
+    config dims; a mismatch would silently write a corrupt container."""
+    from ..config import BadArrayShapeError
+    if tuple(band.shape) != (config.height, config.width):
+        raise BadArrayShapeError(
+            f"band shape {tuple(band.shape)} != configured "
+            f"(height, width) = {(config.height, config.width)}")
+
+
 def encode_band_levels(band, config: Configuration, dtype=None) -> jax.Array:
     """(H, W) integer band -> (num_blocks, d*d) int32 zigzag levels."""
+    check_band_shape(np.asarray(band), config)
     dt = np.dtype(dtype if dtype is not None else default_dtype())
     pal = dt == np.float32 and use_pallas_default(config.transform)
     return _encode_fn(_config_key(config), dt.name, pal)(jnp.asarray(band))

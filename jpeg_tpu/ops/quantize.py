@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from ..config import QuantizationMethod
 from .transform import zigzag_permutation
 
+MAX_AMP = (1 << 14) - 1  # largest codable |amplitude| (util.py:162-174)
+
 #: Standard JPEG luminance quantization table hardcoded by the reference
 #: (quantizers.py:35-42).
 JPEG_QTABLE = np.array(
@@ -171,7 +173,8 @@ def dequant_int_vector(method: QuantizationMethod, dct_size: int):
         return np.ones(L, np.int64)
     if name == "divide":
         d = method.divisor
-        if float(d) == int(d):
+        # int32 kernel multiply must not wrap: require |amp|*d < 2**31.
+        if float(d) == int(d) and int(d) <= (2 ** 31 - 1) // MAX_AMP:
             return int(d) * np.ones(L, np.int64)
         return None
     if name == "qtable":
@@ -190,11 +193,20 @@ def dequantize(levels_zz, method: QuantizationMethod, dct_size: int):
     if name in ("none", "discard"):
         return levels_zz
     if name == "divide":
+        import jax
         d = method.divisor
+        x64 = jax.config.jax_enable_x64
         if float(d) == int(d):
-            return levels_zz * jnp.asarray(int(d), dtype=levels_zz.dtype)
-        prod = levels_zz.astype(jnp.float64) * float(d)
-        return jnp.trunc(prod).astype(levels_zz.dtype)
+            if x64 or int(d) <= (2 ** 31 - 1) // MAX_AMP:
+                return levels_zz * jnp.asarray(int(d), dtype=levels_zz.dtype)
+            # Fast mode with a product that could wrap int32: compute in
+            # f32 (feeds a f32 IDCT anyway; no wrap, ~1 ULP of f64 parity).
+            return levels_zz.astype(jnp.float32) * float(d)
+        # Reference semantics: trunc of the float product
+        # (pipeline/quantization.py stores into the int levels array).
+        ftype = jnp.float64 if x64 else jnp.float32
+        prod = jnp.trunc(levels_zz.astype(ftype) * float(d))
+        return prod.astype(levels_zz.dtype) if x64 else prod
     if name == "qtable":
         q = jnp.asarray(qtable_zigzag(dct_size).astype(np.int64),
                         dtype=levels_zz.dtype)

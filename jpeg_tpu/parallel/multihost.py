@@ -92,6 +92,13 @@ def compress_plane_distributed(plane, config: Configuration,
     for sh in levels.addressable_shards:
         seen.setdefault(sh.index[0].start or 0, np.asarray(sh.data))
     shards = sorted(seen.items())
+    expect = shards[0][0]
+    for start, data in shards:
+        if start != expect:
+            raise ValueError(
+                "this host's level shards are not contiguous in global "
+                "block order; use a process-contiguous device mesh")
+        expect = start + data.shape[0]
     local_start = shards[0][0]
     local_levels = np.concatenate([d for _, d in shards], axis=0)
     local_stream = entropy.encode_levels(local_levels)

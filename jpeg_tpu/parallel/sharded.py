@@ -96,6 +96,7 @@ def encode_batch_levels(bands, config: Configuration, mesh,
       ((B, num_blocks, L) int32 levels, exact total payload bytes).
     """
     bands = jnp.asarray(bands)
+    band_ops.check_band_shape(bands[0], config)
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
     fn = _batch_encode_fn(band_ops.config_key(config), dt.name, mesh,
                           tuple(bands.shape),
@@ -131,6 +132,7 @@ def _encode_levels_parts(levels: np.ndarray, n_parts: int,
 def compress_plane(plane, config: Configuration, mesh, dtype=None) -> bytes:
     """Row-band-tiled single-plane compress; bytes == single-device bytes."""
     plane = jnp.asarray(plane)
+    band_ops.check_band_shape(plane, config)
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
     fn = _plane_encode_fn(band_ops.config_key(config), dt.name, mesh,
                           tuple(plane.shape),
@@ -162,6 +164,7 @@ def compress_plane_device_entropy(plane, config: Configuration, mesh,
     from ..entropy import device_codec as DC
 
     plane = jnp.asarray(plane)
+    band_ops.check_band_shape(plane, config)
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
     fn = _plane_encode_fn(band_ops.config_key(config), dt.name, mesh,
                           tuple(plane.shape),

@@ -253,10 +253,12 @@ class Quantization(AlgorithmStep):
             return array
         if m.name == "divide":
             d = m.divisor
-            if float(d) == int(d):
+            x64 = jax.config.jax_enable_x64
+            if float(d) == int(d) and (x64 or int(d) <= (2 ** 31 - 1) // 16383):
                 return array * int(d)
-            return jnp.trunc(array.astype(jnp.float64) * float(d)).astype(
-                array.dtype)
+            ftype = jnp.float64 if x64 else jnp.float32
+            prod = jnp.trunc(array.astype(ftype) * float(d))
+            return prod.astype(array.dtype) if x64 else prod
         if m.name == "qtable":
             q = self._tiled(Q.JPEG_QTABLE.astype(np.int64), array.shape)
             return array * q.astype(array.dtype)

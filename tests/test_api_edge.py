@@ -82,3 +82,42 @@ def test_encode_levels_rejects_uint32_overrange():
     bad[0, 0] = 2 ** 32 - 16383     # would wrap to -16383 through int32
     with pytest.raises(BadRleCodeError):
         entropy.encode_levels(bad)
+
+
+def test_mismatched_dims_rejected():
+    from jpeg_tpu.config import BadArrayShapeError
+    from jpeg_tpu import compress_band
+    cfg = Configuration(width=8, height=8, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    img16 = np.zeros((16, 16, 3), np.uint8)
+    with pytest.raises(BadArrayShapeError):
+        compress_ycbcr(img16, cfg)
+    with pytest.raises(BadArrayShapeError):
+        compress_band(np.zeros((16, 16)), cfg)
+    # transposed dims (the easy real-world mistake)
+    cfg2 = Configuration(width=8, height=16, block_size=2, dct_size=8)
+    with pytest.raises(BadArrayShapeError):
+        compress_band(np.zeros((8, 16)), cfg2)
+
+
+def test_huge_divisor_decode_does_not_wrap(monkeypatch):
+    # divisor 200000: level*divisor exceeds int32; fast (f32) mode must not
+    # wrap.  Compare against the x64 parity decode.
+    import jax
+    from jpeg_tpu import compress_band, decompress_band
+    cfg = Configuration(width=16, height=16, block_size=1, dct_size=8,
+                        quantization=QuantizationMethod("divide",
+                                                        divisor=200000))
+    band = np.full((16, 16), 255, np.int64)
+    stream = compress_band(band, cfg)
+    truth = np.asarray(decompress_band(stream, cfg, dtype=np.float64))
+    fast = np.asarray(decompress_band(stream, cfg, dtype=np.float32))
+    assert np.abs(fast.astype(int) - truth.astype(int)).max() <= 1
+
+
+def test_int64_min_rejected():
+    from jpeg_tpu import entropy
+    bad = np.zeros((1, 4), dtype=np.int64)
+    bad[0, 0] = np.iinfo(np.int64).min
+    with pytest.raises(BadRleCodeError):
+        entropy.encode_levels(bad)

@@ -1,0 +1,110 @@
+"""On-device tests: the PRODUCTION TPU path, uninstrumented.
+
+The main suite (tests/) pins jax to the CPU backend with x64 for parity
+oracles, so compiled Mosaic kernels, the f32 defaults and the real
+device-entropy branches never execute there.  This suite runs them on the
+actual backend:
+
+    python -m pytest tpu_tests/ -q        # on a TPU machine
+
+Skipped wholesale when no TPU backend is available.
+"""
+import numpy as np
+import pytest
+import jax
+
+pytestmark = pytest.mark.skipif(jax.default_backend() != "tpu",
+                                reason="requires a TPU backend")
+
+
+@pytest.fixture(scope="module")
+def img():
+    y, x = np.mgrid[0:96, 0:128].astype(np.float64)
+    plane = np.clip(128 + 70 * np.sin(x / 11.0) * np.cos(y / 13.0), 0, 255)
+    return np.repeat(plane[:, :, None], 3, axis=2).astype(np.uint8)
+
+
+def _cfg(**kw):
+    from jpeg_tpu import Configuration, QuantizationMethod
+    kw.setdefault("width", 128)
+    kw.setdefault("height", 96)
+    kw.setdefault("block_size", 2)
+    kw.setdefault("dct_size", 8)
+    kw.setdefault("quantization", QuantizationMethod("qtable"))
+    return Configuration(**kw)
+
+
+def test_pallas_compiled_matches_xla(img):
+    from jpeg_tpu.ops import band as band_ops
+    cfg = _cfg()
+    key = band_ops.config_key(cfg)
+    band = img[:, :, 0].astype(np.int32)
+    lv_pal = np.asarray(jax.jit(band_ops.make_encode(key, "float32", True))(band))
+    lv_xla = np.asarray(jax.jit(band_ops.make_encode(key, "float32", False))(band))
+    np.testing.assert_array_equal(lv_pal, lv_xla)
+    px_pal = np.asarray(jax.jit(band_ops.make_decode(key, "float32", True))(lv_xla))
+    px_xla = np.asarray(jax.jit(band_ops.make_decode(key, "float32", False))(lv_xla))
+    np.testing.assert_array_equal(px_pal, px_xla)
+
+
+def test_roundtrip_quality_and_entropy_modes(img, monkeypatch):
+    from jpeg_tpu import compress_ycbcr, decompress_to_ycbcr, psnr
+    cfg = _cfg()
+    blob_dev = compress_ycbcr(img, cfg)                 # device entropy
+    monkeypatch.setenv("JPEG_TPU_HOST_ENTROPY", "1")
+    blob_host = compress_ycbcr(img, cfg)                # host entropy
+    monkeypatch.delenv("JPEG_TPU_HOST_ENTROPY")
+    assert blob_dev == blob_host
+
+    out_dev = decompress_to_ycbcr(blob_dev)             # device bit parsing
+    monkeypatch.setenv("JPEG_TPU_DEVICE_DECODE", "0")
+    out_host = decompress_to_ycbcr(blob_dev)
+    monkeypatch.delenv("JPEG_TPU_DEVICE_DECODE")
+    np.testing.assert_array_equal(out_dev, out_host)
+    assert psnr(img, out_dev) > 30
+
+
+def test_fast_mode_matches_parity_decode(img, tmp_path):
+    """f32 TPU decode of a stream equals the f64 CPU parity decode exactly
+    (the MXU HIGHEST-precision guarantee).  Parity mode needs x64, which is
+    process-global, so the oracle decode runs in a CPU subprocess."""
+    import hashlib
+    import subprocess
+    import sys
+    from jpeg_tpu import compress_ycbcr, decompress_to_ycbcr
+    cfg = _cfg()
+    blob = compress_ycbcr(img, cfg)
+    out_tpu = decompress_to_ycbcr(blob)
+    p = tmp_path / "blob.jc"
+    p.write_bytes(blob)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_enable_x64', True);"
+        "import hashlib, numpy as np; from jpeg_tpu import decompress_to_ycbcr;"
+        f"out = decompress_to_ycbcr(open({str(p)!r},'rb').read());"
+        "print(hashlib.sha256(out.tobytes()).hexdigest())")
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True)
+    assert hashlib.sha256(out_tpu.tobytes()).hexdigest() == \
+        res.stdout.strip().splitlines()[-1]
+
+
+def test_float64_without_x64_raises_clearly(img):
+    from jpeg_tpu import compress_ycbcr
+    with pytest.raises(ValueError, match="x64"):
+        compress_ycbcr(img, _cfg(), dtype=np.float64)
+
+
+def test_exotic_configs_roundtrip(img):
+    from jpeg_tpu import (Configuration, QuantizationMethod, compress_ycbcr,
+                          decompress_to_ycbcr, psnr)
+    for cfg in [
+        _cfg(transform="DFT", quantization=QuantizationMethod("none")),
+        _cfg(dct_size=24, block_size=4,
+             quantization=QuantizationMethod("divide", divisor=1000)),
+        _cfg(dct_size=4, block_size=1,
+             quantization=QuantizationMethod("discard", keep=2)),
+    ]:
+        out = decompress_to_ycbcr(compress_ycbcr(img, cfg))
+        assert out.shape == img.shape
+        assert psnr(img, out) > 15
