@@ -7,6 +7,7 @@ inside ``jax.jit``.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import BadArrayShapeError, EmptyArrayError, padded_size
@@ -57,7 +58,15 @@ def subsample(a, block_size: int):
     # coefficients downstream.  Integer pixel sums are exact in f64, so the
     # single division makes subsampling bitwise equal to the reference
     # (subsampling.py:9-11).
-    return jnp.sum(a.astype(dtype), axis=(1, 3)) / (block_size * block_size)
+    total = jnp.sum(a.astype(dtype), axis=(1, 3))
+    denom = jnp.asarray(block_size * block_size, dtype)
+    if dtype == jnp.float64:
+        # Under jit XLA's algebraic simplifier rewrites division by a
+        # constant into a reciprocal multiply (verified: 1-ULP drift vs
+        # eager/NumPy).  The barrier hides the constant so true IEEE
+        # division is emitted — required for bit parity.
+        denom = jax.lax.optimization_barrier(denom)
+    return total / denom
 
 
 def inflate(a, factor: int):

@@ -39,6 +39,11 @@ CONFIGS = [
     (3, 2, 1, 2, "DCT", None),
     (1, 1, 1, 1, "DCT", None),
     (9, 7, 4, 3, "DCT", ("divide", {"divisor": 5})),
+    # regression: non-power-of-2 subsample area (bs=5 -> /25) where XLA's
+    # division->reciprocal rewrite under jit flipped a half-integer round
+    (10, 48, 5, 2, "DCT", ("discard", {"keep": 2})),
+    (17, 17, 6, 3, "DFT", ("divide", {"divisor": 2})),
+    (26, 49, 3, 12, "DCT", ("divide", {"divisor": 2})),
 ]
 
 
