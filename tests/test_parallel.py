@@ -242,3 +242,24 @@ def test_decompress_batch_device_entropy_matches_host():
     host = parallel.decompress_batch(blobs, mesh, device_entropy=False)
     dev = parallel.decompress_batch(blobs, mesh, device_entropy=True)
     np.testing.assert_array_equal(dev, host)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_sharded_equals_serial(trial):
+    """Random geometry through both sharded encode paths == serial bytes."""
+    rng = np.random.default_rng(4200 + trial)
+    w = int(rng.integers(1, 70))
+    h = int(rng.integers(1, 70))
+    bs = int(rng.integers(1, 6))
+    d = int(rng.choice([2, 3, 4, 8]))
+    qn = str(rng.choice(["none", "divide", "qtable"]))
+    if qn == "qtable":
+        d = 8
+    kw = {"divisor": 40} if qn == "divide" else {}
+    cfg = Configuration(width=w, height=h, block_size=bs, dct_size=d,
+                        quantization=QuantizationMethod(qn, **kw))
+    mesh = parallel.make_mesh(8)
+    plane = rng.integers(0, 256, (h, w)).astype(np.int64)
+    serial = entropy.encode_levels(np.asarray(encode_band_levels(plane, cfg)))
+    assert parallel.compress_plane(plane, cfg, mesh) == serial
+    assert parallel.compress_plane_device_entropy(plane, cfg, mesh) == serial
