@@ -42,7 +42,7 @@ def main() -> None:
                     0, 255).astype(np.int32)
 
     total = len(jax.devices())
-    sizes = [n for n in (1, 2, 4, 8, 16) if n <= total]
+    sizes = sorted({n for n in (1, 2, 4, 8, 16, total) if n <= total})
     print(f"backend={jax.default_backend()} devices={total} plane={h}x{w}")
     base = None
     for n in sizes:

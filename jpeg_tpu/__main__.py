@@ -6,19 +6,20 @@ import sys
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv or argv[0] in ("-h", "--help"):
-        print("usage: python -m jpeg_tpu {compress|decompress|batch} ...",
-              file=sys.stderr)
-        return 0 if argv else 2
+    usage = "usage: python -m jpeg_tpu {compress|decompress|batch} ..."
+    if not argv:
+        print(usage, file=sys.stderr)
+        return 2
+    if argv[0] in ("-h", "--help"):
+        print(usage)
+        return 0
     cmd, rest = argv[0], argv[1:]
     if cmd == "compress":
         from .cli.compress import main as m
-        m(rest)
-        return 0
+        return m(rest) or 0
     if cmd == "decompress":
         from .cli.decompress import main as m
-        m(rest)
-        return 0
+        return m(rest) or 0
     if cmd == "batch":
         from .cli.batch import main as m
         return m(rest)

@@ -139,10 +139,8 @@ def _dt_and_pallas(config: Configuration, dtype):
 
 
 def _use_device_entropy() -> bool:
-    import os
-    if os.environ.get("JPEG_TPU_HOST_ENTROPY"):
-        return False
-    return jax.default_backend() == "tpu"
+    from .utils.device import device_entropy_default
+    return device_entropy_default()
 
 
 def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
@@ -158,7 +156,10 @@ def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
     _band.check_band_shape(ycbcr[:, :, 0], config)
     dt, pal = _dt_and_pallas(config, dtype)
     planes = np.ascontiguousarray(ycbcr.transpose(2, 0, 1))
-    if _use_device_entropy():
+    from .entropy.device_codec import worst_case_block_bytes
+    fits_i32 = (3 * config.num_blocks
+                * worst_case_block_bytes(config.dct_size ** 2) * 8 < 2 ** 31)
+    if _use_device_entropy() and fits_i32:
         fn = _encode3_stream_fn(_band.config_key(config), dt.name, pal)
         stream, band_bytes, mx = fn(planes)
         if int(mx) > entropy.MAX_AMP:
@@ -189,9 +190,10 @@ def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
     # O(bytes) C++ boundary scan and uploads the compressed stream itself —
     # h2d shrinks from the coefficient levels to the compressed bytes.
     # JPEG_TPU_DEVICE_DECODE=0 falls back to host entropy decode.
-    import os
-    if (os.environ.get("JPEG_TPU_DEVICE_DECODE", "1") != "0"
-            and _use_device_entropy()):
+    from .utils.device import device_entropy_default, pow2_cap
+    total = len(data.y) + len(data.cb) + len(data.cr)
+    if (device_entropy_default(decode=True)
+            and pow2_cap(total) * 8 < 2 ** 31):
         # _get_native honors JPEG_TPU_NO_NATIVE, unlike importing
         # native_codec directly.
         if entropy._get_native() is not None:

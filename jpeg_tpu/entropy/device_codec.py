@@ -79,6 +79,12 @@ def encode_stream(levels):
     output; the remainder is zero.  jit-safe, fully vectorized.
     """
     n_blocks, L = levels.shape
+    if n_blocks * worst_case_block_bytes(L) * 8 >= 2 ** 31:
+        # Bit positions are int32 (TPU has no int64): ~256 MiB of worst-case
+        # output is the per-call ceiling.  Split the batch instead.
+        raise ValueError(
+            f"{n_blocks} blocks of L={L} exceed the device encoder's int32 "
+            f"bit-position range; encode in smaller chunks")
     nz, absamp, size, nchains, rrem, group_bits = _geometry(levels)
 
     blk_bits = jnp.sum(group_bits, axis=-1) + 8          # + EOB
@@ -126,6 +132,10 @@ def decode_stream(stream_u8, starts, L: int):
     """
     n = starts.shape[0]
     nbytes = stream_u8.shape[0]
+    if nbytes * 8 >= 2 ** 31:
+        raise ValueError(
+            f"{nbytes}-byte stream exceeds the device decoder's int32 "
+            f"bit-position range (~256 MiB); decode in smaller chunks")
     stream = stream_u8.astype(jnp.uint32)
     max_steps = L + L // MAX_RUN + 2
     rows = jnp.arange(n, dtype=jnp.int32)

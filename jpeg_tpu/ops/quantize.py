@@ -67,8 +67,15 @@ def quantize(coeffs_zz, method: QuantizationMethod, dct_size: int):
                            dtype=coeffs_zz.dtype)
         return jnp.round(coeffs_zz) * mask
     if name == "divide":
-        return jnp.round(coeffs_zz / jnp.asarray(float(method.divisor),
-                                                 dtype=coeffs_zz.dtype))
+        div = jnp.asarray(float(method.divisor), dtype=coeffs_zz.dtype)
+        if coeffs_zz.dtype == jnp.float64:
+            # Same jit-only trap as blocks.subsample: XLA rewrites division
+            # by a constant into a reciprocal multiply (1 ULP off), flipping
+            # round() at half-integer quotients.  Hide the constant so true
+            # IEEE division is emitted in parity mode.
+            import jax
+            div = jax.lax.optimization_barrier(div)
+        return jnp.round(coeffs_zz / div)
     if name == "qtable":
         inv_q = jnp.asarray(1.0 / qtable_zigzag(dct_size),
                             dtype=coeffs_zz.dtype)

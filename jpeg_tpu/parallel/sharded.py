@@ -48,15 +48,20 @@ def _mesh_pallas(mesh, dt: np.dtype, transform: str) -> bool:
 
 
 def _batch_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
-                     use_pallas: bool = False):
-    """Jitted (B, H, W) -> ((B, N, L) levels, total payload bytes)."""
-    cache_key = (key, dtype_name, mesh, shape, use_pallas)
+                     use_pallas: bool = False, with_stats: bool = True):
+    """Jitted (B, H, W) -> ((B, N, L) levels[, total payload bytes]).
+
+    ``with_stats=False`` skips the size-geometry pass + cross-mesh
+    all-reduce for callers that only need the levels."""
+    cache_key = (key, dtype_name, mesh, shape, use_pallas, with_stats)
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
         encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
 
         def step(bands):
             levels = jax.vmap(encode_one)(bands)
+            if not with_stats:
+                return levels
             # Global reduction over all shards -> XLA all-reduce on the mesh.
             return levels, stats.total_bytes(levels)
 
@@ -250,9 +255,12 @@ def compress_batch(images, config: Configuration, mesh,
     bands = images.transpose(0, 3, 1, 2).reshape(
         b * 3, images.shape[1], images.shape[2])
     if device_entropy is None:
-        import os
-        device_entropy = (jax.default_backend() == "tpu"
-                          and not os.environ.get("JPEG_TPU_HOST_ENTROPY"))
+        from ..utils.device import device_entropy_default
+        from ..entropy.device_codec import worst_case_block_bytes
+        device_entropy = (
+            device_entropy_default()
+            and b * 3 * config.num_blocks
+            * worst_case_block_bytes(config.dct_size ** 2) * 8 < 2 ** 31)
 
     if device_entropy:
         from ..config import BadRleCodeError
@@ -271,7 +279,12 @@ def compress_batch(images, config: Configuration, mesh,
         offs = np.concatenate([[0], np.cumsum(bb)]).astype(np.int64)
         streams = [buf[offs[i]:offs[i + 1]] for i in range(3 * b)]
     else:
-        levels, _ = encode_batch_levels(bands, config, mesh, dtype=dtype)
+        dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
+        fn = _batch_encode_fn(band_ops.config_key(config), dt.name, mesh,
+                              tuple(bands.shape),
+                              _mesh_pallas(mesh, dt, config.transform),
+                              with_stats=False)
+        levels = np.asarray(fn(jnp.asarray(bands)))
         with ThreadPoolExecutor(max_workers=min(16, max(1, b * 3))) as pool:
             streams = list(pool.map(entropy.encode_levels, list(levels)))
     out = []
@@ -301,11 +314,10 @@ def decompress_batch(blobs: Sequence[bytes], mesh, dtype=None,
         flat_streams.extend([data.y, data.cb, data.cr])
 
     if device_entropy is None:
-        import os
-        device_entropy = (jax.default_backend() == "tpu"
-                          and not os.environ.get("JPEG_TPU_HOST_ENTROPY")
-                          and os.environ.get("JPEG_TPU_DEVICE_DECODE", "1")
-                          != "0")
+        from ..utils.device import device_entropy_default, pow2_cap
+        total = sum(len(s) for s in flat_streams)
+        device_entropy = (device_entropy_default(decode=True)
+                          and pow2_cap(total) * 8 < 2 ** 31)
     if device_entropy and entropy._get_native() is not None:
         return _decompress_batch_device(flat_streams, config, mesh,
                                         len(blobs), dtype)
@@ -359,15 +371,23 @@ def _decompress_batch_device(flat_streams: List[bytes],
     cache_key = ("dec_stream", key, dt.name, mesh, pad, b, pal)
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
         decode_one = band_ops.make_decode(key, dt.name, pal)
+        # The stream/starts replicate; bit parsing and IDCT shard over the
+        # batch (data) and block-row (band) axes.
+        lv_sh = NamedSharding(mesh, mesh_lib.fit_spec(
+            (b, 3, nb, L), mesh,
+            P(mesh_lib.DATA_AXIS, None, mesh_lib.BAND_AXIS, None)))
 
         def step(stream_u8, starts_all):
             levels = DC.decode_stream(stream_u8, starts_all, L)
-            planes = jax.vmap(jax.vmap(decode_one))(
-                levels.reshape(b, 3, nb, L))
+            levels = jax.lax.with_sharding_constraint(
+                levels.reshape(b, 3, nb, L), lv_sh)
+            planes = jax.vmap(jax.vmap(decode_one))(levels)
             return planes.astype(jnp.uint8)          # (B, 3, H, W)
 
-        fn = jax.jit(step)
+        fn = jax.jit(step, in_shardings=(mesh_lib.replicated(mesh),
+                                         mesh_lib.replicated(mesh)))
         _BATCH_FNS[cache_key] = fn
     planes = np.asarray(fn(arr, np.concatenate(starts)))
     return planes.transpose(0, 2, 3, 1)

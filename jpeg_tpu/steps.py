@@ -241,7 +241,12 @@ class Quantization(AlgorithmStep):
             mask = self._tiled((rows & cols).astype(np.float64), array.shape)
             return _round_preserving_complex(array) * mask.astype(array.dtype)
         if m.name == "divide":
-            return _round_preserving_complex(array / float(m.divisor))
+            div = jnp.asarray(float(m.divisor))
+            if self._parity():
+                div = jax.lax.optimization_barrier(
+                    div.astype(jnp.float64))     # defeat reciprocal rewrite
+            return _round_preserving_complex(array / div.astype(
+                jnp.complex128 if jnp.iscomplexobj(array) else div.dtype))
         if m.name == "qtable":
             inv_q = self._tiled(1.0 / Q.JPEG_QTABLE, array.shape)
             return _round_preserving_complex(array * inv_q.astype(array.dtype))

@@ -21,3 +21,19 @@ def pull_prefix(dev_u8, nbytes: int) -> bytes:
     n = int(nbytes)
     cap = min(pow2_cap(n), dev_u8.shape[0])
     return np.asarray(dev_u8[:cap])[:n].tobytes()
+
+
+def device_entropy_default(decode: bool = False) -> bool:
+    """Single policy for running entropy coding on device.
+
+    Encode: TPU backend unless JPEG_TPU_HOST_ENTROPY.  Decode: additionally
+    JPEG_TPU_DEVICE_DECODE=0 opts out (device bit parsing has a first-compile
+    cost the encode path doesn't).
+    """
+    import os
+    import jax
+    if os.environ.get("JPEG_TPU_HOST_ENTROPY"):
+        return False
+    if decode and os.environ.get("JPEG_TPU_DEVICE_DECODE", "1") == "0":
+        return False
+    return jax.default_backend() == "tpu"
