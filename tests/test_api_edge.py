@@ -121,3 +121,21 @@ def test_int64_min_rejected():
     bad[0, 0] = np.iinfo(np.int64).min
     with pytest.raises(BadRleCodeError):
         entropy.encode_levels(bad)
+
+
+def test_garbage_container_bytes_never_crash():
+    import struct
+    from jpeg_tpu.config import (BadQuantizationError, BadRleCodeError,
+                                 BadStreamError, BadArrayShapeError)
+    rng = np.random.default_rng(8)
+    ok_types = (struct.error, KeyError, ValueError, UnicodeDecodeError,
+                BadQuantizationError, BadRleCodeError, BadStreamError,
+                BadArrayShapeError)
+    for n in (0, 1, 5, 14, 40, 300):
+        for _ in range(6):
+            blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            try:
+                out = decompress_to_ycbcr(blob)
+                assert out.ndim == 3          # lucky parse must still be sane
+            except ok_types:
+                pass                          # structured failure is fine
