@@ -116,12 +116,11 @@ def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
 
 
 def _decompress_device(config: Configuration, data: CompressedData, dt, pal):
-    from .entropy import native_codec
     nb, L = config.num_blocks, config.dct_size ** 2
     streams = [data.y, data.cb, data.cr]
     starts, off = [], 0
     for s in streams:
-        starts.append(native_codec.scan_offsets(s, nb, L) + off)
+        starts.append(entropy.scan_offsets(s, nb, L) + off)
         off += len(s)
     from .utils.device import pow2_cap
     buf = b"".join(streams)
@@ -194,10 +193,9 @@ def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
     total = len(data.y) + len(data.cb) + len(data.cr)
     if (device_entropy_default(decode=True)
             and pow2_cap(total) * 8 < 2 ** 31):
-        # _get_native honors JPEG_TPU_NO_NATIVE, unlike importing
-        # native_codec directly.
-        if entropy._get_native() is not None:
-            return _decompress_device(config, data, dt, pal).transpose(1, 2, 0)
+        # entropy.scan_offsets falls back to the pure-Python scanner when the
+        # C++ codec is unavailable, so device bit parsing needs no compiler.
+        return _decompress_device(config, data, dt, pal).transpose(1, 2, 0)
     nb, L = config.num_blocks, config.dct_size ** 2
     with ThreadPoolExecutor(max_workers=3) as pool:
         levels = list(pool.map(

@@ -65,3 +65,16 @@ def decode_levels(data: bytes, num_blocks: int, L: int) -> np.ndarray:
         # thread overhead.  Bands already decode in parallel at the caller.
         return nat.decode_levels(data, num_blocks, L)
     return numpy_codec.decode_levels(data, num_blocks, L)
+
+
+def scan_offsets(data: bytes, num_blocks: int, L: int) -> np.ndarray:
+    """Validate a band stream and return each block's start byte offset.
+
+    The serial O(bytes) prelude to block-parallel decode (device bit parsing
+    consumes the offsets).  C++ scanner when available, else the pure-Python
+    word-window scanner — so the TPU decode path works without a compiler.
+    """
+    nat = _get_native()
+    if nat is not None:
+        return nat.scan_offsets(data, num_blocks, L)
+    return numpy_codec.scan_offsets(data, num_blocks, L)

@@ -119,6 +119,70 @@ def encode_levels(levels: np.ndarray) -> bytes:
     return np.packbits(out).tobytes()
 
 
+_U32 = __import__("struct").Struct(">I")
+
+
+def scan_offsets(data: bytes, num_blocks: int, L: int) -> np.ndarray:
+    """Serial O(bytes) boundary scan: validate the stream and return each
+    block's start byte offset (pure-Python fallback for the C++
+    ``native_codec.scan_offsets``; same error behavior).
+
+    Scanning needs only each code's (run, size) header — the magnitude bits
+    are skipped — so the cost is ~one 32-bit word read per code, linear in
+    the stream length (the reference decodes serially per code the same way,
+    rle_byte_stream.py:74-88).
+    """
+    buf = bytes(data)
+    n = len(buf)
+    starts = np.zeros(num_blocks, dtype=np.int32)
+    if num_blocks == 0:
+        if n:
+            raise BadStreamError(
+                f"stream has {n} trailing bytes after 0 blocks")
+        return starts
+    if n == 0:
+        raise BadStreamError("empty bytestream")
+    pad = buf + b"\x00\x00\x00"          # word reads never run off the end
+    unpack = _U32.unpack_from
+    nbits = 8 * n
+    max_codes = L + L // MAX_RUN + 2
+    pos = 0
+    for b in range(num_blocks):
+        starts[b] = pos >> 3
+        widx = 0
+        done = False
+        for _ in range(max_codes):
+            if pos + 8 > nbits:
+                raise BadStreamError(f"truncated stream at block {b}")
+            w = unpack(pad, pos >> 3)[0] >> (24 - (pos & 7))
+            run = (w >> 4) & 0xF
+            size = w & 0xF
+            if size == 0:
+                if run == 0:             # EOB: pad to byte boundary
+                    pos = (pos + 15) & ~7
+                    done = True
+                    break
+                if run != MAX_RUN:
+                    raise BadRleCodeError(f"({run}, 0, 0)")
+                pos += 8                 # zeros chain
+                widx += MAX_RUN
+                continue
+            if pos + 8 + size > nbits:
+                raise BadStreamError(f"truncated stream at block {b}")
+            pos += 8 + size              # skip sign + magnitude
+            widx += run
+            if widx >= L:
+                raise BadStreamError("coefficient index overflows block")
+            widx += 1
+        if not done:
+            raise BadStreamError("block did not terminate with EOB")
+    if pos >> 3 != n:
+        raise BadStreamError(
+            f"stream has {n - (pos >> 3)} trailing bytes after "
+            f"{num_blocks} blocks")
+    return starts
+
+
 def _read4(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
     v = np.zeros(pos.shape, dtype=np.int64)
     for k in range(4):
@@ -137,64 +201,22 @@ def _read_amp(bits: np.ndarray, pos: np.ndarray, size: np.ndarray) -> np.ndarray
     return np.where(sign == 1, mag, -mag)
 
 
-def _block_end_bytes(bits: np.ndarray, start_bytes: np.ndarray, L: int):
-    """For each candidate start byte, parse one block and return its end byte.
-
-    Vectorized lockstep parse: every candidate advances one code per step.
-    Returns (end_byte, ok) arrays; ok=False where the parse ran off the end.
-    """
-    nbits = bits.size
-    pos = start_bytes.astype(np.int64) * 8
-    done = np.zeros(pos.shape, dtype=bool)
-    ok = np.ones(pos.shape, dtype=bool)
-    end = np.zeros(pos.shape, dtype=np.int64)
-    max_steps = L + L // MAX_RUN + 2
-    for _ in range(max_steps):
-        active = ~done & ok
-        if not active.any():
-            break
-        off_end = active & (pos + 8 > nbits)
-        ok &= ~off_end
-        active &= ~off_end
-        run = _read4(bits, pos)
-        size = _read4(bits, pos + 4)
-        is_eob = (run == 0) & (size == 0)
-        is_chain = (run == MAX_RUN) & (size == 0)
-        adv = np.where(is_eob | is_chain, 8, 8 + size)
-        newpos = pos + adv
-        # EOB: pad to byte boundary.
-        newpos = np.where(is_eob, (newpos + 7) & ~np.int64(7), newpos)
-        pos = np.where(active, newpos, pos)
-        end = np.where(active & is_eob, pos >> 3, end)
-        done |= active & is_eob
-    ok &= done
-    return end, ok
-
-
 def decode_levels(data: bytes, num_blocks: int, L: int) -> np.ndarray:
     """Decode a band bytestream into (num_blocks, L) int32 zigzag levels."""
     buf = np.frombuffer(data, dtype=np.uint8)
-    bits = np.unpackbits(buf)
     out = np.zeros((num_blocks, L), dtype=np.int32)
     if num_blocks == 0:
+        if buf.size:
+            raise BadStreamError(
+                f"stream has {buf.size} trailing bytes after 0 blocks")
         return out
     if buf.size == 0:
         raise BadStreamError("empty bytestream")
+    bits = np.unpackbits(buf)
 
-    # Phase 1: speculative successor function over all byte offsets, then
-    # chase the chain from 0 to find true block starts.
-    cand = np.arange(buf.size, dtype=np.int64)
-    succ, ok = _block_end_bytes(bits, cand, L)
-    starts = np.zeros(num_blocks, dtype=np.int64)
-    b = 0
-    for i in range(num_blocks):
-        if b >= buf.size or not ok[b]:
-            raise BadStreamError(f"truncated stream at block {i} (byte {b})")
-        starts[i] = b
-        b = int(succ[b])
-    if b != buf.size:
-        raise BadStreamError(
-            f"stream has {buf.size - b} trailing bytes after {num_blocks} blocks")
+    # Phase 1: serial O(bytes) boundary scan (validates the whole stream,
+    # including truncation and trailing bytes).
+    starts = scan_offsets(data, num_blocks, L).astype(np.int64)
 
     # Phase 2: lockstep decode of all blocks in parallel.
     pos = starts * 8

@@ -318,7 +318,7 @@ def decompress_batch(blobs: Sequence[bytes], mesh, dtype=None,
         total = sum(len(s) for s in flat_streams)
         device_entropy = (device_entropy_default(decode=True)
                           and pow2_cap(total) * 8 < 2 ** 31)
-    if device_entropy and entropy._get_native() is not None:
+    if device_entropy:
         return _decompress_batch_device(flat_streams, config, mesh,
                                         len(blobs), dtype)
 
@@ -349,13 +349,12 @@ def _decompress_batch_device(flat_streams: List[bytes],
                              dtype=None) -> np.ndarray:
     """Device bit-parse + decode for a homogeneous batch of band streams."""
     from ..entropy import device_codec as DC
-    from ..entropy import native_codec
     from ..utils.device import pow2_cap
 
     nb, L = config.num_blocks, config.dct_size ** 2
     with ThreadPoolExecutor(max_workers=min(16, len(flat_streams))) as pool:
         scans = list(pool.map(
-            lambda s: native_codec.scan_offsets(s, nb, L), flat_streams))
+            lambda s: entropy.scan_offsets(s, nb, L), flat_streams))
     starts, off = [], 0
     for s, sc in zip(flat_streams, scans):
         starts.append(sc + off)
