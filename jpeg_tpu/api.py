@@ -87,6 +87,27 @@ def _encode3_stream_fn(key, dtype_name: str, use_pallas: bool):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _encode3_stream_chunked_fn(key, dtype_name: str, use_pallas: bool,
+                               chunk_blocks: int):
+    """Device encode for batches past the int32 bit-position ceiling:
+    (3, H, W) -> (chunk buffers, per-block bytes, band lengths, max).
+
+    ``chunk_blocks`` keys the cache so a changed cap retraces."""
+    from .entropy import device_codec as DC
+    enc = _band.make_encode(key, dtype_name, use_pallas)
+
+    def f(bands):
+        levels = jax.vmap(enc)(bands)                  # (3, N, L)
+        flat = levels.reshape(-1, levels.shape[-1])
+        bufs, blk_bytes = DC.encode_stream_chunks(flat)
+        band_bytes = jnp.sum(blk_bytes.reshape(3, -1), axis=-1)
+        mx = jnp.max(jnp.abs(flat)).astype(jnp.int32)
+        return bufs, blk_bytes, band_bytes, mx
+
+    return jax.jit(f)
+
+
 from .utils.device import pull_prefix as _pull_prefix  # shared helper
 
 
@@ -155,18 +176,32 @@ def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
     _band.check_band_shape(ycbcr[:, :, 0], config)
     dt, pal = _dt_and_pallas(config, dtype)
     planes = np.ascontiguousarray(ycbcr.transpose(2, 0, 1))
-    from .entropy.device_codec import worst_case_block_bytes
-    fits_i32 = (3 * config.num_blocks
-                * worst_case_block_bytes(config.dct_size ** 2) * 8 < 2 ** 31)
-    if _use_device_entropy() and fits_i32:
-        fn = _encode3_stream_fn(_band.config_key(config), dt.name, pal)
-        stream, band_bytes, mx = fn(planes)
-        if int(mx) > entropy.MAX_AMP:
-            raise BadRleCodeError(
-                f"amplitude {int(mx)} exceeds the representable "
-                f"{entropy.MAX_AMP}")
-        bb = [int(x) for x in np.asarray(band_bytes)]
-        buf = _pull_prefix(stream, sum(bb))
+    from .entropy import device_codec as DC
+    L = config.dct_size ** 2
+    n_total = 3 * config.num_blocks
+    if _use_device_entropy():
+        if n_total <= DC.max_chunk_blocks(L):
+            fn = _encode3_stream_fn(_band.config_key(config), dt.name, pal)
+            stream, band_bytes, mx = fn(planes)
+            if int(mx) > entropy.MAX_AMP:
+                raise BadRleCodeError(
+                    f"amplitude {int(mx)} exceeds the representable "
+                    f"{entropy.MAX_AMP}")
+            bb = [int(x) for x in np.asarray(band_bytes)]
+            buf = _pull_prefix(stream, sum(bb))
+        else:
+            # Worst-case output exceeds int32 bit positions: the encoder
+            # self-chunks on device; byte-aligned blocks concatenate exactly.
+            m = DC.max_chunk_blocks(L)
+            fn = _encode3_stream_chunked_fn(_band.config_key(config),
+                                            dt.name, pal, m)
+            bufs, blk_bytes, band_bytes, mx = fn(planes)
+            if int(mx) > entropy.MAX_AMP:
+                raise BadRleCodeError(
+                    f"amplitude {int(mx)} exceeds the representable "
+                    f"{entropy.MAX_AMP}")
+            bb = [int(x) for x in np.asarray(band_bytes)]
+            buf = DC.assemble_chunks(bufs, blk_bytes, m)
         bands = [buf[sum(bb[:i]):sum(bb[:i + 1])] for i in range(3)]
     else:
         fn = _encode3_fn(_band.config_key(config), dt.name, pal)

@@ -23,15 +23,27 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MAX_RUN = 15
 MAX_SIZE = 15
 MAX_AMP = (1 << (MAX_SIZE - 1)) - 1  # 16383
 
+# Bit positions are int32 (TPU has no int64): one encode_stream call may
+# address at most this many worst-case output bits.  Larger batches are
+# split transparently by encode_stream_chunks (tests shrink this to
+# exercise the chunking without gigabyte allocations).
+_CAP_BITS = 2 ** 31
+
 
 def worst_case_block_bytes(L: int) -> int:
     """Static per-block output bound: all coefficients nonzero at size 15."""
     return ((8 + MAX_SIZE) * L + 8 + 7) // 8
+
+
+def max_chunk_blocks(L: int) -> int:
+    """Largest block count whose worst-case bit positions stay in int32."""
+    return max(1, (_CAP_BITS // 8 - 1) // worst_case_block_bytes(L))
 
 
 def _bit_length(absamp):
@@ -79,12 +91,12 @@ def encode_stream(levels):
     output; the remainder is zero.  jit-safe, fully vectorized.
     """
     n_blocks, L = levels.shape
-    if n_blocks * worst_case_block_bytes(L) * 8 >= 2 ** 31:
+    if n_blocks * worst_case_block_bytes(L) * 8 >= _CAP_BITS:
         # Bit positions are int32 (TPU has no int64): ~256 MiB of worst-case
-        # output is the per-call ceiling.  Split the batch instead.
+        # output is the per-call ceiling.  encode_stream_chunks self-splits.
         raise ValueError(
             f"{n_blocks} blocks of L={L} exceed the device encoder's int32 "
-            f"bit-position range; encode in smaller chunks")
+            f"bit-position range; use encode_stream_chunks")
     nz, absamp, size, nchains, rrem, group_bits = _geometry(levels)
 
     blk_bits = jnp.sum(group_bits, axis=-1) + 8          # + EOB
@@ -124,35 +136,46 @@ def decode_stream(stream_u8, starts, L: int):
     (N, L) int32 levels.
 
     The serial part of decode — finding where each block's bitstream starts
-    — happens host-side in one O(bytes) C++ scan (native_codec.scan_offsets),
-    which also validates the stream.  Here every block then advances in
-    lockstep, one code per step, using 4-byte gathers to read its 32-bit
-    code window; bounded by the max codes per block (L + L//15 + 2), so the
-    whole loop is jit-compilable with static shapes.
+    — happens host-side in one O(bytes) scan (entropy.scan_offsets), which
+    also validates the stream.  On device every block then advances in
+    lockstep, one code per step:
+
+    * The stream is pre-expanded once into per-byte 32-bit MSB-first windows
+      (four shifted adds, no gather), so each step reads its code with a
+      single gather.
+    * Steps RECORD each decoded (position, amplitude) pair into dense
+      (step, block) arrays — a contiguous dynamic-update-slice per step —
+      instead of scattering into the (N, L) output, which XLA serializes
+      badly on TPU (measured 126 ms for a 4 MP image vs ~1 ms this way).
+    * The loop is a while_loop that exits when every block has hit EOB, so
+      sparse content pays for its own code count, not the worst case
+      (L + L//15 + 2 steps).
+    * Recorded positions are nondecreasing per block (runs only advance), so
+      the final (N, L) assembly is a scatter-free vmapped binary search over
+      the record axis.
     """
     n = starts.shape[0]
     nbytes = stream_u8.shape[0]
-    if nbytes * 8 >= 2 ** 31:
+    if nbytes * 8 >= _CAP_BITS:
         raise ValueError(
             f"{nbytes}-byte stream exceeds the device decoder's int32 "
             f"bit-position range (~256 MiB); decode in smaller chunks")
-    stream = stream_u8.astype(jnp.uint32)
     max_steps = L + L // MAX_RUN + 2
-    rows = jnp.arange(n, dtype=jnp.int32)
 
-    def read_window(pos):
-        """32-bit MSB-first window aligned so the code starts at bit 31."""
-        byte0 = pos >> 3
-        w = jnp.zeros(pos.shape, jnp.uint32)
-        for j in range(4):
-            b = stream[jnp.minimum(byte0 + j, nbytes - 1)]
-            w = (w << 8) | b
-        return w << (pos & 7).astype(jnp.uint32)
+    # Per-byte big-endian 32-bit windows: w32[i] = bytes[i..i+4) (zero pad).
+    p = jnp.concatenate([stream_u8.astype(jnp.uint32),
+                         jnp.zeros(3, jnp.uint32)])
+    w32 = ((p[:-3] << 24) | (p[1:-2] << 16) | (p[2:-1] << 8) | p[3:])
 
-    def body(_, carry):
-        pos, widx, done, out = carry
+    def cond(carry):
+        step, _, _, done, _, _ = carry
+        return (step < max_steps) & ~jnp.all(done)
+
+    def body(carry):
+        step, pos, widx, done, wts, amps = carry
         active = ~done
-        win = read_window(pos)
+        win = w32[jnp.minimum(pos >> 3, nbytes - 1)] << (pos & 7).astype(
+            jnp.uint32)
         run = (win >> 28).astype(jnp.int32)
         size = ((win >> 24) & 0xF).astype(jnp.int32)
         is_eob = (run == 0) & (size == 0)
@@ -168,8 +191,12 @@ def decode_stream(stream_u8, starts, L: int):
 
         wt = widx + run
         store = active & is_code & (wt < L)
-        out = out.at[rows, jnp.clip(wt, 0, L - 1)].add(
-            jnp.where(store, amp, 0))
+        # Record row: decoded position (or the L sentinel) + amplitude.
+        zero = jnp.int32(0)
+        wts = jax.lax.dynamic_update_slice(
+            wts, jnp.where(store, wt, jnp.int32(L))[None], (step, zero))
+        amps = jax.lax.dynamic_update_slice(
+            amps, jnp.where(store, amp, 0)[None], (step, zero))
         widx = jnp.where(active & is_chain, widx + MAX_RUN,
                          jnp.where(store, wt + 1, widx))
         adv = jnp.where(is_eob | is_chain, 8, 8 + size)
@@ -177,14 +204,77 @@ def decode_stream(stream_u8, starts, L: int):
         newpos = jnp.where(is_eob, (newpos + 7) & ~jnp.int32(7), newpos)
         pos = jnp.where(active, newpos, pos)
         done = done | (active & is_eob)
-        return pos, widx, done, out
+        return step + 1, pos, widx, done, wts, amps
 
-    init = (starts.astype(jnp.int32) * 8,
+    init = (jnp.int32(0),
+            starts.astype(jnp.int32) * 8,
             jnp.zeros(n, jnp.int32),
             jnp.zeros(n, bool),
-            jnp.zeros((n, L), jnp.int32))
-    _, _, _, out = jax.lax.fori_loop(0, max_steps, body, init)
-    return out
+            jnp.full((max_steps, n), L, jnp.int32),
+            jnp.zeros((max_steps, n), jnp.int32))
+    _, _, _, _, wts, amps = jax.lax.while_loop(cond, body, init)
+
+    # (N, L) assembly: positions per block are nondecreasing except for the
+    # L sentinels punched at non-store steps — repair with a running max
+    # (the sentinel simply carries the last real position; its amplitude is
+    # 0 so a duplicate hit contributes nothing when searched from the left).
+    wtsT = jnp.minimum(jax.lax.associative_scan(jnp.maximum,
+                                                jnp.where(wts == L, -1, wts),
+                                                axis=0),
+                       jnp.int32(L)).T            # (N, S) nondecreasing
+    ampsT = amps.T
+    q = jnp.arange(L, dtype=jnp.int32)
+    idx = jax.vmap(lambda row: jnp.searchsorted(row, q, side="left"))(wtsT)
+    idx = jnp.minimum(idx, max_steps - 1)
+    hit = jnp.take_along_axis(wtsT, idx, axis=1) == q[None, :]
+    return jnp.where(hit, jnp.take_along_axis(ampsT, idx, axis=1), 0)
+
+
+def encode_stream_chunks(levels):
+    """(N, L) levels -> (bufs (C, chunk_worst) u8, blk_bytes (N,) int32).
+
+    Self-chunking wrapper over :func:`encode_stream`: block batches whose
+    worst-case output would overflow int32 bit positions split into C equal
+    chunks (block boundaries are byte-aligned, so per-chunk streams
+    concatenate into exactly the one-shot stream).  The tail chunk pads with
+    all-zero blocks; each encodes to one EOB byte sitting AFTER the real
+    blocks' bytes in that chunk's buffer, so pulling only the real blocks'
+    byte total drops them.  jit-safe: C is static from the input shape.
+    """
+    n_blocks, L = levels.shape
+    m = max_chunk_blocks(L)
+    if n_blocks <= m:
+        buf, blk_bytes = encode_stream(levels)
+        return buf[None, :], blk_bytes
+    c = -(-n_blocks // m)
+    pad = c * m - n_blocks
+    if pad:
+        levels = jnp.concatenate(
+            [levels, jnp.zeros((pad, L), levels.dtype)], axis=0)
+    bufs, bbs = [], []
+    for i in range(c):
+        buf, bb = encode_stream(levels[i * m:(i + 1) * m])
+        bufs.append(buf)
+        bbs.append(bb)
+    return jnp.stack(bufs), jnp.concatenate(bbs)[:n_blocks]
+
+
+def assemble_chunks(bufs: "jax.Array", blk_bytes, chunk_blocks: int) -> bytes:
+    """Host-side stitch of encode_stream_chunks output into stream bytes.
+
+    ``chunk_blocks`` must be the cap the encoder traced with (pass the same
+    value used to build the program — deriving it from shapes is ambiguous).
+    Pulls only each chunk's used prefix (one transfer per chunk; C is 1 for
+    everything under the int32 ceiling).
+    """
+    from ..utils.device import pull_prefix
+    blk_bytes = np.asarray(blk_bytes)
+    m = chunk_blocks
+    parts = []
+    for i in range(bufs.shape[0]):
+        used = int(blk_bytes[i * m:(i + 1) * m].sum())
+        parts.append(pull_prefix(bufs[i], used))
+    return b"".join(parts)
 
 
 def encode_bands_stream(levels, n_bands: int):

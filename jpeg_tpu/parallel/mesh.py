@@ -81,14 +81,23 @@ def fit_spec(shape: Sequence[int], mesh: Mesh, spec: P) -> P:
 
     jit shardings require exact divisibility; padding geometry (odd block
     counts, small batches) often breaks it on one axis, in which case that
-    dimension simply stays replicated/unsharded.
+    dimension simply stays replicated/unsharded.  Dropping a requested axis
+    is correct but silently serializes that dimension's work, so it warns
+    (once per call site by Python's default warning filter).
     """
+    import warnings
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     fitted = []
     for dim, name in zip(shape, tuple(spec) + (None,) * len(shape)):
         if name is not None and dim % sizes[name] == 0:
             fitted.append(name)
         else:
+            if name is not None and sizes[name] > 1:
+                warnings.warn(
+                    f"dimension of size {dim} is not divisible by mesh axis "
+                    f"{name!r} ({sizes[name]} devices); leaving it "
+                    f"unsharded — pad the batch/rows for full parallelism",
+                    stacklevel=2)
             fitted.append(None)
     return P(*fitted)
 

@@ -207,15 +207,19 @@ def compress_plane_device_entropy(plane, config: Configuration, mesh,
             f"amplitude {int(mx)} exceeds the representable {DC.MAX_AMP}")
     blk_bytes = np.asarray(blk_bytes)
     m = n_padded // n_shards
-    parts = []
-    for s in range(n_shards):
-        # Real blocks are a prefix of each shard's contiguous range, so the
-        # padding blocks' EOB bytes sit at the shard buffer's tail — drop by
-        # summing only the real blocks' byte counts.
-        lo, hi = s * m, min((s + 1) * m, n_blocks)
-        used = int(blk_bytes[lo:hi].sum()) if hi > lo else 0
-        parts.append(pull_prefix(buf[s], used))
-    return stitch_streams(parts)
+    # Real blocks are a prefix of each shard's contiguous range, so the
+    # padding blocks' EOB bytes sit at the shard buffer's tail — drop by
+    # summing only the real blocks' byte counts.
+    used = [int(blk_bytes[s * m:min((s + 1) * m, n_blocks)].sum())
+            for s in range(n_shards)]
+    # ONE device->host transfer for all shards (row-band shards are
+    # balanced, so pulling every row to the max used length overfetches
+    # little), instead of a blocking pull per shard.
+    from ..utils.device import pow2_cap
+    cap = min(pow2_cap(max(used, default=1)), buf.shape[1])
+    host = np.asarray(buf[:, :cap])
+    return stitch_streams([host[s, :used[s]].tobytes()
+                           for s in range(n_shards)])
 
 
 def _batch_stream_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
@@ -231,6 +235,31 @@ def _batch_stream_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
             levels = jax.vmap(encode_one)(bands)          # (B, N, L)
             flat = levels.reshape(-1, levels.shape[-1])
             return DC.encode_bands_stream(flat, bands.shape[0])
+
+        fn = jax.jit(step, in_shardings=mesh_lib.batch_sharding(mesh, shape))
+        _BATCH_FNS[cache_key] = fn
+    return fn
+
+
+def _batch_stream_chunked_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
+                             use_pallas: bool, chunk_blocks: int):
+    """Jitted (B, H, W) -> (chunk bufs, per-block bytes, band bytes, max)
+    for batches whose worst-case output exceeds int32 bit positions."""
+    cache_key = ("stream_chunked", key, dtype_name, mesh, shape, use_pallas,
+                 chunk_blocks)
+    fn = _BATCH_FNS.get(cache_key)
+    if fn is None:
+        from ..entropy import device_codec as DC
+        encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
+
+        def step(bands):
+            levels = jax.vmap(encode_one)(bands)          # (B, N, L)
+            flat = levels.reshape(-1, levels.shape[-1])
+            bufs, blk_bytes = DC.encode_stream_chunks(flat)
+            band_bytes = jnp.sum(blk_bytes.reshape(bands.shape[0], -1),
+                                 axis=-1)
+            mx = jnp.max(jnp.abs(flat)).astype(jnp.int32)
+            return bufs, blk_bytes, band_bytes, mx
 
         fn = jax.jit(step, in_shardings=mesh_lib.batch_sharding(mesh, shape))
         _BATCH_FNS[cache_key] = fn
@@ -256,26 +285,36 @@ def compress_batch(images, config: Configuration, mesh,
         b * 3, images.shape[1], images.shape[2])
     if device_entropy is None:
         from ..utils.device import device_entropy_default
-        from ..entropy.device_codec import worst_case_block_bytes
-        device_entropy = (
-            device_entropy_default()
-            and b * 3 * config.num_blocks
-            * worst_case_block_bytes(config.dct_size ** 2) * 8 < 2 ** 31)
+        device_entropy = device_entropy_default()
 
     if device_entropy:
         from ..config import BadRleCodeError
         from ..entropy import MAX_AMP
+        from ..entropy import device_codec as DC
         dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
-        fn = _batch_stream_fn(band_ops.config_key(config), dt.name, mesh,
-                              tuple(bands.shape),
-                              _mesh_pallas(mesh, dt, config.transform))
-        stream, band_bytes, mx = fn(jnp.asarray(bands))
+        pal = _mesh_pallas(mesh, dt, config.transform)
+        n_total = b * 3 * config.num_blocks
+        m = DC.max_chunk_blocks(config.dct_size ** 2)
+        if n_total <= m:
+            fn = _batch_stream_fn(band_ops.config_key(config), dt.name, mesh,
+                                  tuple(bands.shape), pal)
+            stream, band_bytes, mx = fn(jnp.asarray(bands))
+        else:
+            # Past the int32 bit-position ceiling the encoder self-chunks;
+            # byte-aligned blocks make the chunk concatenation exact.
+            fn = _batch_stream_chunked_fn(band_ops.config_key(config),
+                                          dt.name, mesh, tuple(bands.shape),
+                                          pal, m)
+            bufs, blk_bytes, band_bytes, mx = fn(jnp.asarray(bands))
         if int(mx) > MAX_AMP:
             raise BadRleCodeError(
                 f"amplitude {int(mx)} exceeds the representable {MAX_AMP}")
         bb = np.asarray(band_bytes)
         total = int(bb.sum())
-        buf = pull_prefix(stream, total)
+        if n_total <= m:
+            buf = pull_prefix(stream, total)
+        else:
+            buf = DC.assemble_chunks(bufs, blk_bytes, m)
         offs = np.concatenate([[0], np.cumsum(bb)]).astype(np.int64)
         streams = [buf[offs[i]:offs[i + 1]] for i in range(3 * b)]
     else:

@@ -118,3 +118,43 @@ def test_roundtrip_through_host_decoder():
     got, _ = _device_bytes(levels)
     back = NC.decode_levels(got, 25, 64)
     np.testing.assert_array_equal(back, levels)
+
+
+def test_encode_stream_chunks_matches_one_shot(monkeypatch):
+    L = 64
+    levels = np.zeros((50, L), dtype=np.int32)
+    mask = RNG.random(levels.shape) < 0.25
+    levels[mask] = RNG.integers(-900, 900, int(mask.sum()))
+    want = NC.encode_levels(levels)
+    # default cap: single chunk, same bytes  (eager: jit would cache the
+    # first trace across the cap monkeypatch below — production callers key
+    # their fn caches on chunk_blocks instead)
+    bufs, bb = DC.encode_stream_chunks(jnp.asarray(levels))
+    assert bufs.shape[0] == 1
+    assert DC.assemble_chunks(bufs, bb, DC.max_chunk_blocks(L)) == want
+    # shrink the int32 ceiling so 50 blocks must split into 8 chunks
+    monkeypatch.setattr(DC, "_CAP_BITS",
+                        (7 * DC.worst_case_block_bytes(L) + 1) * 8)
+    m = DC.max_chunk_blocks(L)
+    assert m == 7
+    bufs, bb = DC.encode_stream_chunks(jnp.asarray(levels))
+    assert bufs.shape[0] == -(-50 // m)
+    assert DC.assemble_chunks(bufs, bb, m) == want
+    # single-shot encode_stream still refuses past the ceiling
+    with pytest.raises(ValueError):
+        DC.encode_stream(jnp.asarray(levels))
+
+
+def test_compress_ycbcr_chunked_device_path(monkeypatch):
+    """A batch past the (shrunk) int32 ceiling stays on the device-entropy
+    path and produces byte-identical containers (VERDICT r1 item 7)."""
+    from jpeg_tpu import Configuration, QuantizationMethod, api
+    cfg = Configuration(width=64, height=48, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    img = RNG.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    want = api.compress_ycbcr(img, cfg)            # host-entropy reference
+    monkeypatch.setattr(api, "_use_device_entropy", lambda: True)
+    monkeypatch.setattr(DC, "_CAP_BITS",
+                        (5 * DC.worst_case_block_bytes(64) + 1) * 8)
+    assert DC.max_chunk_blocks(64) == 5            # 36 blocks -> 8 chunks
+    assert api.compress_ycbcr(img, cfg) == want
