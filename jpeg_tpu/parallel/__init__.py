@@ -11,6 +11,7 @@ from .mesh import (BAND_AXIS, DATA_AXIS, batch_sharding, factorize,
                    levels_sharding, make_mesh, plane_sharding, replicated)
 from .sharded import (compress_batch, compress_plane,
                       compress_plane_device_entropy, decompress_batch,
+                      decompress_plane,
                       encode_batch_levels, stitch_streams)
 from .stats import block_bits, block_bytes, total_bytes
 
@@ -18,7 +19,7 @@ __all__ = [
     "BAND_AXIS", "DATA_AXIS", "batch_sharding", "factorize",
     "levels_sharding", "make_mesh", "plane_sharding", "replicated",
     "compress_batch", "compress_plane", "compress_plane_device_entropy",
-    "decompress_batch",
+    "decompress_batch", "decompress_plane",
     "encode_batch_levels", "stitch_streams",
     "block_bits", "block_bytes", "total_bytes",
 ]

@@ -222,6 +222,74 @@ def compress_plane_device_entropy(plane, config: Configuration, mesh,
                            for s in range(n_shards)])
 
 
+def decompress_plane(data: bytes, config: Configuration, mesh,
+                     dtype=None, device_entropy: Optional[bool] = None
+                     ) -> np.ndarray:
+    """Row-band-tiled decode of ONE band stream — the dual of
+    :func:`compress_plane_device_entropy` (reference dual: the descending
+    ``decompress_band`` pipeline, pipeline/__init__.py:79-88).
+
+    The host performs only the serial O(bytes) boundary scan
+    (entropy.scan_offsets, C++ or pure Python); bit parsing and the IDCT
+    path run in one jitted program with the block rows sharded over the
+    flattened mesh.  Bit-equal to ``api.decompress_band`` by construction
+    (same decode kernel, same device codec).
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.sharding import NamedSharding
+
+    nb, L = config.num_blocks, config.dct_size ** 2
+    dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
+    pal = _mesh_pallas(mesh, dt, config.transform)
+    key = band_ops.config_key(config)
+    flat = Mesh(mesh.devices.reshape(-1), (mesh_lib.BAND_AXIS,))
+
+    if device_entropy is None:
+        from ..utils.device import device_entropy_default, pow2_cap
+        device_entropy = (device_entropy_default(decode=True)
+                          and pow2_cap(len(data)) * 8 < 2 ** 31)
+    if device_entropy:
+        from ..entropy import device_codec as DC
+        from ..utils.device import pow2_cap
+        starts = entropy.scan_offsets(data, nb, L)     # validates the stream
+        pad = pow2_cap(len(data))
+        arr = np.zeros(pad, np.uint8)
+        arr[:len(data)] = np.frombuffer(data, np.uint8)
+        cache_key = ("dec_plane_stream", key, dt.name, flat, pad, pal)
+        fn = _PLANE_FNS.get(cache_key)
+        if fn is None:
+            decode_one = band_ops.make_decode(key, dt.name, pal)
+            lv_sh = NamedSharding(flat, mesh_lib.fit_spec(
+                (nb, L), flat, P(mesh_lib.BAND_AXIS, None)))
+
+            def step(stream_u8, starts_arr):
+                # Stream/starts replicate (compressed bytes are small);
+                # the lockstep bit parse and IDCT shard over block rows.
+                levels = DC.decode_stream(stream_u8, starts_arr, L)
+                levels = jax.lax.with_sharding_constraint(levels, lv_sh)
+                return decode_one(levels)
+
+            fn = jax.jit(step, in_shardings=(NamedSharding(flat, P()),
+                                             NamedSharding(flat, P())))
+            _PLANE_FNS[cache_key] = fn
+        return np.asarray(fn(arr, starts.astype(np.int32)))
+
+    # Host entropy decode (C++/NumPy), then the sharded IDCT path.
+    levels = entropy.decode_levels(bytes(data), nb, L)
+    cache_key = ("dec_plane", key, dt.name, flat, pal)
+    fn = _PLANE_FNS.get(cache_key)
+    if fn is None:
+        decode_one = band_ops.make_decode(key, dt.name, pal)
+        fn = jax.jit(decode_one,
+                     in_shardings=NamedSharding(flat, mesh_lib.fit_spec(
+                         (nb, L), flat, P(mesh_lib.BAND_AXIS, None))),
+                     out_shardings=NamedSharding(flat, mesh_lib.fit_spec(
+                         (config.height, config.width), flat,
+                         P(mesh_lib.BAND_AXIS, None))))
+        _PLANE_FNS[cache_key] = fn
+    return np.asarray(fn(jnp.asarray(levels)))
+
+
 def _batch_stream_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
                      use_pallas: bool = False):
     """Jitted (B, H, W) -> (stream bytes, per-band byte counts, max level)."""

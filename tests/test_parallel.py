@@ -263,3 +263,49 @@ def test_fuzz_sharded_equals_serial(trial):
     serial = entropy.encode_levels(np.asarray(encode_band_levels(plane, cfg)))
     assert parallel.compress_plane(plane, cfg, mesh) == serial
     assert parallel.compress_plane_device_entropy(plane, cfg, mesh) == serial
+
+
+def test_decompress_plane_matches_decompress_band():
+    """decompress_plane (sharded decode of one plane) == decompress_band,
+    both the device-bit-parse and host-entropy variants (VERDICT r1 #4)."""
+    from jpeg_tpu import api
+    cfg = _cfg(96, 8 * 2 * 8, block_size=2)
+    mesh = parallel.make_mesh(8)
+    plane = RNG.integers(0, 256, (cfg.height, cfg.width), dtype=np.int32)
+    stream = api.compress_band(plane, cfg)
+    want = api.decompress_band(stream, cfg)
+    dev = parallel.decompress_plane(stream, cfg, mesh, device_entropy=True)
+    host = parallel.decompress_plane(stream, cfg, mesh, device_entropy=False)
+    np.testing.assert_array_equal(dev, want)
+    np.testing.assert_array_equal(host, want)
+
+
+def test_decompress_plane_uneven_blocks():
+    # 15 block-rows over 8 shards: fit_spec falls back to replication for
+    # levels while the row-band decode still matches bit-exactly.
+    from jpeg_tpu import api
+    cfg = _cfg(24, 5 * 2 * 8, block_size=2)
+    mesh = parallel.make_mesh(8)
+    plane = RNG.integers(0, 256, (cfg.height, cfg.width), dtype=np.int32)
+    stream = api.compress_band(plane, cfg)
+    want = api.decompress_band(stream, cfg)
+    got = parallel.decompress_plane(stream, cfg, mesh, device_entropy=True)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_decompress_plane_fullhd():
+    # encode via the sharded device-entropy path, decode via the sharded
+    # device-bit-parse path: a full sharded round trip on a 1080p plane.
+    cfg = Configuration(width=1920, height=1080, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    mesh = parallel.make_mesh(8)
+    y, x = np.mgrid[0:1080, 0:1920]
+    plane = np.clip(128 + 80 * np.sin(x / 37.0) * np.cos(y / 23.0),
+                    0, 255).astype(np.int32)
+    stream = parallel.compress_plane_device_entropy(plane, cfg, mesh,
+                                                    dtype=np.float32)
+    from jpeg_tpu import api
+    want = api.decompress_band(stream, cfg, dtype=np.float32)
+    got = parallel.decompress_plane(stream, cfg, mesh, dtype=np.float32,
+                                    device_entropy=True)
+    np.testing.assert_array_equal(got, want)
