@@ -20,7 +20,8 @@ from .config import (BadArrayShapeError, BadQuantizationError,
                      EmptyArrayError, QuantizationMethod, padded_size)
 from .container import (CompressedData, create_header, generate_data,
                         get_header, read_data)
-from .api import (Jpeg, compress_band, compress_ycbcr, decompress_band,
+from .api import (Jpeg, compress_band, compress_many, compress_ycbcr,
+                  decompress_band, decompress_many,
                   decompress_to_ycbcr, psnr)
 from . import steps  # invertible step-pipeline view (steps.step_classes)
 
@@ -29,7 +30,9 @@ __version__ = "0.1.0"
 __all__ = [
     "BadArrayShapeError", "BadQuantizationError", "BadRleCodeError",
     "BadStreamError", "CompressedData", "Configuration", "EmptyArrayError",
-    "Jpeg", "QuantizationMethod", "compress_band", "compress_ycbcr",
-    "create_header", "decompress_band", "decompress_to_ycbcr",
+    "Jpeg", "QuantizationMethod", "compress_band", "compress_many",
+    "compress_ycbcr",
+    "create_header", "decompress_band", "decompress_many",
+    "decompress_to_ycbcr",
     "generate_data", "get_header", "padded_size", "psnr", "read_data",
 ]

@@ -163,18 +163,19 @@ def _use_device_entropy() -> bool:
     return device_entropy_default()
 
 
-def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
-                   dtype=None) -> bytes:
-    """(H, W, 3) uint8 YCbCr image -> container bytes.
+def _start_compress(ycbcr: np.ndarray, config: Configuration, dt, pal):
+    """Dispatch the device half of an image encode WITHOUT blocking.
 
-    All three bands (including luma) go through the same subsample path,
-    matching the reference (pipeline/__init__.py:102-110).
+    Returns an opaque state consumed by :func:`_finish_compress`.  JAX
+    dispatch is asynchronous, so after this returns the upload + on-device
+    compute proceed while the host does other work — the hook that lets
+    :func:`compress_many` overlap image i's result pull with image i+1's
+    transfer and compute.
     """
     ycbcr = np.asarray(ycbcr)
     if ycbcr.ndim != 3 or ycbcr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) YCbCr array, got {ycbcr.shape}")
     _band.check_band_shape(ycbcr[:, :, 0], config)
-    dt, pal = _dt_and_pallas(config, dtype)
     planes = np.ascontiguousarray(ycbcr.transpose(2, 0, 1))
     from .entropy import device_codec as DC
     L = config.dct_size ** 2
@@ -182,38 +183,83 @@ def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
     if _use_device_entropy():
         if n_total <= DC.max_chunk_blocks(L):
             fn = _encode3_stream_fn(_band.config_key(config), dt.name, pal)
-            stream, band_bytes, mx = fn(planes)
-            if int(mx) > entropy.MAX_AMP:
-                raise BadRleCodeError(
-                    f"amplitude {int(mx)} exceeds the representable "
-                    f"{entropy.MAX_AMP}")
-            bb = [int(x) for x in np.asarray(band_bytes)]
-            buf = _pull_prefix(stream, sum(bb))
-        else:
-            # Worst-case output exceeds int32 bit positions: the encoder
-            # self-chunks on device; byte-aligned blocks concatenate exactly.
-            m = DC.max_chunk_blocks(L)
-            fn = _encode3_stream_chunked_fn(_band.config_key(config),
-                                            dt.name, pal, m)
-            bufs, blk_bytes, band_bytes, mx = fn(planes)
-            if int(mx) > entropy.MAX_AMP:
-                raise BadRleCodeError(
-                    f"amplitude {int(mx)} exceeds the representable "
-                    f"{entropy.MAX_AMP}")
-            bb = [int(x) for x in np.asarray(band_bytes)]
-            buf = DC.assemble_chunks(bufs, blk_bytes, m)
+            return ("dev", *fn(planes))
+        # Worst-case output exceeds int32 bit positions: the encoder
+        # self-chunks on device; byte-aligned blocks concatenate exactly.
+        m = DC.max_chunk_blocks(L)
+        fn = _encode3_stream_chunked_fn(_band.config_key(config),
+                                        dt.name, pal, m)
+        return ("dev_chunked", m, *fn(planes))
+    fn = _encode3_fn(_band.config_key(config), dt.name, pal)
+    return ("host", *fn(planes))
+
+
+def _check_mx(mx) -> None:
+    if int(mx) > entropy.MAX_AMP:
+        raise BadRleCodeError(
+            f"amplitude {int(mx)} exceeds the representable "
+            f"{entropy.MAX_AMP}")
+
+
+def _finish_compress(state, config: Configuration) -> bytes:
+    """Block on a :func:`_start_compress` state and pack the container."""
+    from .entropy import device_codec as DC
+    kind = state[0]
+    if kind == "dev":
+        _, stream, band_bytes, mx = state
+        _check_mx(mx)
+        bb = [int(x) for x in np.asarray(band_bytes)]
+        buf = _pull_prefix(stream, sum(bb))
+        bands = [buf[sum(bb[:i]):sum(bb[:i + 1])] for i in range(3)]
+    elif kind == "dev_chunked":
+        _, m, bufs, blk_bytes, band_bytes, mx = state
+        _check_mx(mx)
+        bb = [int(x) for x in np.asarray(band_bytes)]
+        buf = DC.assemble_chunks(bufs, blk_bytes, m)
         bands = [buf[sum(bb[:i]):sum(bb[:i + 1])] for i in range(3)]
     else:
-        fn = _encode3_fn(_band.config_key(config), dt.name, pal)
-        levels16, mx = fn(planes)
-        if int(mx) > entropy.MAX_AMP:
-            raise BadRleCodeError(
-                f"amplitude {int(mx)} exceeds the representable "
-                f"{entropy.MAX_AMP}")
+        _, levels16, mx = state
+        _check_mx(mx)
         levels = np.asarray(levels16)
         with ThreadPoolExecutor(max_workers=3) as pool:
             bands = list(pool.map(entropy.encode_levels, list(levels)))
     return container.generate_data(config, CompressedData(*bands))
+
+
+def compress_ycbcr(ycbcr: np.ndarray, config: Configuration,
+                   dtype=None) -> bytes:
+    """(H, W, 3) uint8 YCbCr image -> container bytes.
+
+    All three bands (including luma) go through the same subsample path,
+    matching the reference (pipeline/__init__.py:102-110).
+    """
+    dt, pal = _dt_and_pallas(config, dtype)
+    return _finish_compress(_start_compress(ycbcr, config, dt, pal), config)
+
+
+def compress_many(images, config: Configuration, dtype=None,
+                  depth: int = 2) -> list:
+    """Pipelined encode of an iterable of (H, W, 3) YCbCr images.
+
+    Keeps up to ``depth`` images in flight: while image i's compressed
+    bytes stream back to the host, image i+1 is already uploading and
+    transforming on the chip.  On transfer-bound links (PCIe, or the dev
+    tunnel) this hides compute and one direction of transfer entirely;
+    results are identical to per-image :func:`compress_ycbcr`.
+    """
+    from collections import deque
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    dt, pal = _dt_and_pallas(config, dtype)
+    states: deque = deque()
+    out = []
+    for img in images:
+        if len(states) >= depth:
+            out.append(_finish_compress(states.popleft(), config))
+        states.append(_start_compress(img, config, dt, pal))
+    while states:
+        out.append(_finish_compress(states.popleft(), config))
+    return out
 
 
 def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
@@ -241,6 +287,54 @@ def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
     # entropy decoder), so upload the narrow form.
     planes = np.asarray(fn(np.stack(levels).astype(np.int16)))
     return planes.transpose(1, 2, 0)
+
+
+def _start_decompress(bytestream: bytes, dtype):
+    """Dispatch the device half of a decode without blocking (container
+    parse + boundary scan stay host-side; bit parse + IDCT dispatch async)."""
+    config, data = container.read_data(bytestream)
+    dt, pal = _dt_and_pallas(config, dtype)
+    from .utils.device import device_entropy_default, pow2_cap
+    total = len(data.y) + len(data.cb) + len(data.cr)
+    if (device_entropy_default(decode=True)
+            and pow2_cap(total) * 8 < 2 ** 31):
+        nb, L = config.num_blocks, config.dct_size ** 2
+        streams = [data.y, data.cb, data.cr]
+        starts, off = [], 0
+        for s in streams:
+            starts.append(entropy.scan_offsets(s, nb, L) + off)
+            off += len(s)
+        buf = b"".join(streams)
+        pad = pow2_cap(len(buf))
+        arr = np.zeros(pad, np.uint8)
+        arr[:len(buf)] = np.frombuffer(buf, np.uint8)
+        fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad)
+        return fn(arr, np.concatenate(starts))
+    nb, L = config.num_blocks, config.dct_size ** 2
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        levels = list(pool.map(
+            lambda s: entropy.decode_levels(s, nb, L),
+            (data.y, data.cb, data.cr)))
+    fn = _decode3_fn(_band.config_key(config), dt.name, pal)
+    return fn(np.stack(levels).astype(np.int16))
+
+
+def decompress_many(blobs, dtype=None, depth: int = 2) -> list:
+    """Pipelined decode of an iterable of container blobs: image i's plane
+    pull overlaps image i+1's host scan + device decode.  Results are
+    identical to per-image :func:`decompress_to_ycbcr`."""
+    from collections import deque
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    pending: deque = deque()
+    out = []
+    for blob in blobs:
+        if len(pending) >= depth:
+            out.append(np.asarray(pending.popleft()).transpose(1, 2, 0))
+        pending.append(_start_decompress(blob, dtype))
+    while pending:
+        out.append(np.asarray(pending.popleft()).transpose(1, 2, 0))
+    return out
 
 
 class Jpeg:

@@ -139,3 +139,21 @@ def test_garbage_container_bytes_never_crash():
                 assert out.ndim == 3          # lucky parse must still be sane
             except ok_types:
                 pass                          # structured failure is fine
+
+
+def test_compress_many_matches_serial():
+    from jpeg_tpu import api
+    cfg = Configuration(width=32, height=24, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+            for _ in range(5)]
+    want = [api.compress_ycbcr(im, cfg) for im in imgs]
+    for depth in (1, 2, 4, 16):
+        assert api.compress_many(imgs, cfg, depth=depth) == want
+    recon = api.decompress_many(want, depth=3)
+    for r, blob in zip(recon, want):
+        np.testing.assert_array_equal(r, api.decompress_to_ycbcr(blob))
+    with pytest.raises(ValueError):
+        api.compress_many(imgs, cfg, depth=0)
+    assert api.compress_many([], cfg) == []
