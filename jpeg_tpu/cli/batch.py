@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..api import compress_ycbcr, decompress_to_ycbcr, psnr
+from ..api import decompress_to_ycbcr, psnr
 from ..config import Configuration
 from ..utils.profiling import Metrics
 from .compress import quantization_from_args
@@ -97,7 +97,10 @@ def run(indir: str, outdir: str, args, mesh=None) -> Metrics:
             blobs = parallel.compress_batch(
                 np.stack(arrays), config, mesh)
         else:
-            blobs = [compress_ycbcr(a, config) for a in arrays]
+            # Pipelined: image i+1 uploads/transforms while image i's
+            # compressed bytes stream back (api.compress_many).
+            from ..api import compress_many
+            blobs = compress_many(arrays, config)
         dt = time.perf_counter() - t0
 
         for (p, out), arr, blob in zip(items, arrays, blobs):

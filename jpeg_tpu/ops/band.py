@@ -30,13 +30,14 @@ from . import pallas_kernels as PK
 def use_pallas_default(transform: str = "DCT") -> bool:
     """Fast path: Mosaic kernels when running on a real TPU backend in f32.
 
-    Parity (x64) mode and non-TPU backends use the XLA path; DFT mode has no
-    Pallas kernel (fft).  Env override: JPEG_TPU_NO_PALLAS=1 disables.
+    Parity (x64) mode and non-TPU backends use the XLA path.  Both DCT and
+    DFT modes are fused matmuls (ops/transform.py), so both take the Pallas
+    kernels.  Env override: JPEG_TPU_NO_PALLAS=1 disables.
     """
     import os
     if os.environ.get("JPEG_TPU_NO_PALLAS"):
         return False
-    return (transform == "DCT" and not jax.config.jax_enable_x64
+    return (transform in ("DCT", "DFT") and not jax.config.jax_enable_x64
             and jax.default_backend() == "tpu")
 
 
@@ -67,11 +68,15 @@ def make_encode(key: Tuple, dtype_name: str,
     method = QuantizationMethod(qname, **dict(qparams))
     dtype = jnp.dtype(dtype_name)
     L = d * d
-    use_pallas = use_pallas and transform == "DCT"
+    use_pallas = use_pallas and transform in ("DCT", "DFT")
     if use_pallas:
         # Pack P blocks per matmul row -> contraction dim P*L fills the MXU.
+        # DCT and DFT differ only in the operator matrix (both fused
+        # transform+zigzag matmuls, ops/transform.py).
         pack = PK.pack_factor(L)
-        op_t = np.kron(np.eye(pack), T.encode_operator(d).T)
+        enc_op = (T.encode_operator(d) if transform == "DCT"
+                  else T.dft_encode_operator(d))
+        op_t = np.kron(np.eye(pack), enc_op.T)
         mul_v, div_v, mask_v = (np.tile(v, pack)
                                 for v in Q.epilogue_vectors(method, d))
 
@@ -84,35 +89,34 @@ def make_encode(key: Tuple, dtype_name: str,
         blk = B.blockify(sub, d)        # (NV, NH, d, d)
         nv, nh = blk.shape[:2]
         parity = dtype == jnp.float64
-        if transform == "DCT":
-            if parity:
-                # x64 oracle mode: reference-evaluation-order host transform
-                # for deterministic ULP parity (see ops/transform.py).
+        if transform not in ("DCT", "DFT"):
+            raise ValueError(f"unknown transform {transform!r}")
+        if parity:
+            # x64 oracle mode: reference-evaluation-order host transform
+            # for deterministic ULP parity (see ops/transform.py).
+            if transform == "DCT":
                 coeffs = T.exact_dct2_zigzag(blk, d).reshape(nv * nh, L)
             else:
-                vecs = blk.reshape(nv * nh, L)
-                if use_pallas:
-                    n_blocks = nv * nh
-                    n_grp = -(-n_blocks // pack)
-                    if n_grp * pack != n_blocks:
-                        vecs = jnp.concatenate(
-                            [vecs, jnp.zeros((n_grp * pack - n_blocks, L),
-                                             vecs.dtype)], axis=0)
-                    packed = PK.encode_blocks(
-                        vecs.reshape(n_grp, pack * L),
-                        jnp.asarray(op_t, jnp.float32),
-                        jnp.asarray(mul_v), jnp.asarray(div_v),
-                        jnp.asarray(mask_v))
-                    return packed.reshape(n_grp * pack, L)[:n_blocks]
-                coeffs = T.dct2_zigzag(vecs, d)
-        elif transform == "DFT":
-            blocks3 = blk.reshape(nv * nh, d, d)
-            if parity:
-                coeffs = T.exact_dft2_real_zigzag(blocks3, d)
-            else:
-                coeffs = T.dft2_real_zigzag(blocks3, d)
+                coeffs = T.exact_dft2_real_zigzag(
+                    blk.reshape(nv * nh, d, d), d)
+        elif use_pallas:
+            vecs = blk.reshape(nv * nh, L)
+            n_blocks = nv * nh
+            n_grp = -(-n_blocks // pack)
+            if n_grp * pack != n_blocks:
+                vecs = jnp.concatenate(
+                    [vecs, jnp.zeros((n_grp * pack - n_blocks, L),
+                                     vecs.dtype)], axis=0)
+            packed = PK.encode_blocks(
+                vecs.reshape(n_grp, pack * L),
+                jnp.asarray(op_t, jnp.float32),
+                jnp.asarray(mul_v), jnp.asarray(div_v),
+                jnp.asarray(mask_v))
+            return packed.reshape(n_grp * pack, L)[:n_blocks]
+        elif transform == "DCT":
+            coeffs = T.dct2_zigzag(blk.reshape(nv * nh, L), d)
         else:
-            raise ValueError(f"unknown transform {transform!r}")
+            coeffs = T.dft2_real_zigzag(blk.reshape(nv * nh, d, d), d)
         levels = Q.quantize(coeffs, method, d)
         return levels.astype(jnp.int32)
 
@@ -138,10 +142,13 @@ def make_decode(key: Tuple, dtype_name: str,
     nv, nh = cfg.blocks_high, cfg.blocks_wide
     L = d * d
     deq_v = Q.dequant_int_vector(method, d)
-    use_pallas = use_pallas and transform == "DCT" and deq_v is not None
+    use_pallas = (use_pallas and transform in ("DCT", "DFT")
+                  and deq_v is not None)
     if use_pallas:
         pack = PK.pack_factor(L)
-        w_t = np.kron(np.eye(pack), T.decode_operator(d).T)
+        dec_op = (T.decode_operator(d) if transform == "DCT"
+                  else T.dft_decode_operator(d))
+        w_t = np.kron(np.eye(pack), dec_op.T)
         deq_v = np.tile(deq_v, pack)
 
     def f(levels):

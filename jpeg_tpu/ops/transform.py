@@ -376,17 +376,46 @@ def exact_izigzag_idft2_real(coeffs_zz, n: int):
     return _callback(_host_ifft2_real, blocks, n)
 
 
+@functools.lru_cache(maxsize=None)
+def dft_encode_operator(n: int) -> np.ndarray:
+    """(d*d, d*d) real operator ``M`` with ``re(fft2)_zz = M @ vec(block)``.
+
+    For real pixel blocks, ``fft2(X) = F X F^T`` with the symmetric DFT
+    matrix F, so ``vec(fft2(X)) = (F kron F) vec(X)`` and the real part of
+    the result is ``Re(F kron F) @ vec(X)`` — the DFT curiosity mode
+    (reference basis_change.py:20-25 + the complex->int cast at
+    run_length_encoding.py:16-17 that keeps only the real part) becomes the
+    SAME fused MXU matmul shape as the DCT path, so it shares the Pallas
+    kernels instead of needing on-device FFT.
+    """
+    j = np.arange(n, dtype=np.float64)
+    f = np.exp(-2j * np.pi * np.outer(j, j) / n)
+    m2 = np.real(np.kron(f, f))
+    return m2[zigzag_permutation(n), :]
+
+
+@functools.lru_cache(maxsize=None)
+def dft_decode_operator(n: int) -> np.ndarray:
+    """(d*d, d*d) real operator ``W`` with ``vec(re(ifft2)) = W @ coeffs_zz``
+    (G = conj(F)/n per axis; reference basis_change.py:38-41)."""
+    j = np.arange(n, dtype=np.float64)
+    g = np.exp(2j * np.pi * np.outer(j, j) / n) / n
+    w2 = np.real(np.kron(g, g))
+    return w2[:, zigzag_permutation(n)]
+
+
 def dft2_real_zigzag(blocks, n: int):
-    """(..., d, d) pixel blocks -> (..., d*d) zigzag-ordered real(DFT2)."""
-    coeffs = jnp.real(jnp.fft.fft2(blocks))
-    zz = jnp.asarray(zigzag_permutation(n))
-    flat = coeffs.reshape(coeffs.shape[:-2] + (n * n,))
-    return jnp.take(flat, zz, axis=-1)
+    """(..., d, d) pixel blocks -> (..., d*d) zigzag-ordered real(DFT2).
+
+    One fused matmul (see :func:`dft_encode_operator`) — the same MXU shape
+    as the DCT path and bit-consistent with the Pallas DFT kernel."""
+    m = jnp.asarray(dft_encode_operator(n), dtype=blocks.dtype)
+    vecs = blocks.reshape(blocks.shape[:-2] + (n * n,))
+    return jnp.matmul(vecs, m.T, precision=_mm_precision())
 
 
 def izigzag_idft2_real(coeffs_zz, n: int):
     """(..., d*d) zigzag real coefficients -> (..., d, d) real(IDFT2) blocks."""
-    inv = jnp.asarray(inverse_zigzag_permutation(n))
-    flat = jnp.take(coeffs_zz, inv, axis=-1)
-    blocks = flat.reshape(flat.shape[:-1] + (n, n))
-    return jnp.real(jnp.fft.ifft2(blocks))
+    w = jnp.asarray(dft_decode_operator(n), dtype=coeffs_zz.dtype)
+    flat = jnp.matmul(coeffs_zz, w.T, precision=_mm_precision())
+    return flat.reshape(flat.shape[:-1] + (n, n))

@@ -43,7 +43,7 @@ def _mesh_pallas(mesh, dt: np.dtype, transform: str) -> bool:
     import os
     if os.environ.get("JPEG_TPU_NO_PALLAS"):
         return False
-    return (dt == np.float32 and transform == "DCT"
+    return (dt == np.float32 and transform in ("DCT", "DFT")
             and mesh.devices.flat[0].platform == "tpu")
 
 
