@@ -218,15 +218,26 @@ def decode_stream(stream_u8, starts, L: int):
     # L sentinels punched at non-store steps — repair with a running max
     # (the sentinel simply carries the last real position; its amplitude is
     # 0 so a duplicate hit contributes nothing when searched from the left).
-    wtsT = jnp.minimum(jax.lax.associative_scan(jnp.maximum,
-                                                jnp.where(wts == L, -1, wts),
-                                                axis=0),
-                       jnp.int32(L)).T            # (N, S) nondecreasing
+    wtsT = jax.lax.associative_scan(jnp.maximum,
+                                    jnp.where(wts == L, -1, wts),
+                                    axis=0).T     # (N, S) nondecreasing < L
     ampsT = amps.T
-    q = jnp.arange(L, dtype=jnp.int32)
-    idx = jax.vmap(lambda row: jnp.searchsorted(row, q, side="left"))(wtsT)
-    idx = jnp.minimum(idx, max_steps - 1)
-    hit = jnp.take_along_axis(wtsT, idx, axis=1) == q[None, :]
+    q = jnp.arange(L, dtype=jnp.int32)[None, :]   # (1, L) queries
+    # First index with wtsT[row, idx] >= q: explicit fixed-depth binary
+    # search (log2(S) take_along_axis rounds) — tiny, predictable HLO,
+    # unlike vmapped jnp.searchsorted.
+    n_rows = wtsT.shape[0]
+    lo = jnp.zeros((n_rows, L), jnp.int32)        # invariant: wts[lo-1] < q
+    hi = jnp.full((n_rows, L), max_steps, jnp.int32)   # wts[hi] >= q (virtual)
+    steps_pow2 = max(1, (max_steps).bit_length())
+    for _ in range(steps_pow2):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(wtsT, jnp.minimum(mid, max_steps - 1), axis=1)
+        below = v < q
+        lo = jnp.where(below, mid + 1, lo)
+        hi = jnp.where(below, hi, mid)
+    idx = jnp.minimum(hi, max_steps - 1)
+    hit = jnp.take_along_axis(wtsT, idx, axis=1) == q
     return jnp.where(hit, jnp.take_along_axis(ampsT, idx, axis=1), 0)
 
 

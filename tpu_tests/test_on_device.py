@@ -108,3 +108,52 @@ def test_exotic_configs_roundtrip(img):
         out = decompress_to_ycbcr(compress_ycbcr(img, cfg))
         assert out.shape == img.shape
         assert psnr(img, out) > 15
+
+
+def test_dft_pallas_matches_xla_on_chip(img):
+    # Compiled Mosaic DFT kernel (Re(F kron F) operator) == XLA f32 matmul.
+    from jpeg_tpu import QuantizationMethod
+    from jpeg_tpu.ops import band as band_ops
+    cfg = _cfg(transform="DFT", quantization=QuantizationMethod("none"))
+    key = band_ops.config_key(cfg)
+    band = img[:, :, 0].astype(np.int32)
+    lv_pal = np.asarray(jax.jit(band_ops.make_encode(key, "float32", True))(band))
+    lv_xla = np.asarray(jax.jit(band_ops.make_encode(key, "float32", False))(band))
+    np.testing.assert_array_equal(lv_pal, lv_xla)
+    px_pal = np.asarray(jax.jit(band_ops.make_decode(key, "float32", True))(lv_xla))
+    px_xla = np.asarray(jax.jit(band_ops.make_decode(key, "float32", False))(lv_xla))
+    np.testing.assert_array_equal(px_pal, px_xla)
+
+
+def test_device_decode_without_native_codec(img, monkeypatch):
+    """Device bit parsing stays available with no C++ codec: the pure-Python
+    scanner backs entropy.scan_offsets (VERDICT r1 item 5)."""
+    import jpeg_tpu.entropy as entropy
+    from jpeg_tpu import compress_ycbcr, decompress_to_ycbcr
+    cfg = _cfg()
+    blob = compress_ycbcr(img, cfg)
+    want = decompress_to_ycbcr(blob)
+    monkeypatch.setattr(entropy, "_native", None)
+    monkeypatch.setattr(entropy, "_native_checked", True)
+    got = decompress_to_ycbcr(blob)       # python scan + device bit parse
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipelined_many_matches_serial_on_chip(img):
+    from jpeg_tpu import api
+    cfg = _cfg()
+    blobs = api.compress_many([img, img[:, :, ::-1].copy()], cfg)
+    assert blobs[0] == api.compress_ycbcr(img, cfg)
+    assert blobs[1] == api.compress_ycbcr(img[:, :, ::-1].copy(), cfg)
+    recon = api.decompress_many(blobs)
+    np.testing.assert_array_equal(recon[0], api.decompress_to_ycbcr(blobs[0]))
+
+
+def test_decompress_plane_on_chip(img):
+    from jpeg_tpu import api, parallel
+    cfg = _cfg()
+    mesh = parallel.make_mesh(1)
+    plane = img[:, :, 0].astype(np.int32)
+    stream = api.compress_band(plane, cfg)
+    got = parallel.decompress_plane(stream, cfg, mesh, device_entropy=True)
+    np.testing.assert_array_equal(got, np.asarray(api.decompress_band(stream, cfg)))
