@@ -131,6 +131,35 @@ def encode_stream(levels):
     return out.astype(jnp.uint8), blk_bytes
 
 
+def _pallas_decode_enabled() -> bool:
+    import os
+    if os.environ.get("JPEG_TPU_NO_PALLAS"):
+        return False
+    if os.environ.get("JPEG_TPU_PALLAS") == "interpret":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _decode_stream_pallas(stream_u8, starts, L: int):
+    """TPU path: one gather builds per-block stream words, then the Mosaic
+    kernel (ops/pallas_kernels.py:_decode_stream_kernel) decodes every
+    block in VMEM with zero per-step HBM gathers/scatters."""
+    from ..ops import pallas_kernels as PK
+    nbytes = stream_u8.shape[0]
+    wc = worst_case_block_bytes(L)
+    W = wc // 4 + 2        # words covering every in-block window read
+    # int32 words (Mosaic has no unsigned reductions); <<24 of high bytes
+    # wraps negative, which is exactly the right bit pattern.
+    p = jnp.concatenate([stream_u8.astype(jnp.int32),
+                         jnp.zeros(3, jnp.int32)])
+    w32 = ((p[:-3] << 24) | (p[1:-2] << 16) | (p[2:-1] << 8) | p[3:])
+    idx = jnp.minimum(
+        starts[:, None].astype(jnp.int32)
+        + 4 * jnp.arange(W, dtype=jnp.int32)[None, :],
+        jnp.int32(max(nbytes - 1, 0)))
+    return PK.decode_stream_words(w32[idx], L)
+
+
 def decode_stream(stream_u8, starts, L: int):
     """Block-parallel device decode: (stream bytes, block start offsets) ->
     (N, L) int32 levels.
@@ -160,6 +189,8 @@ def decode_stream(stream_u8, starts, L: int):
         raise ValueError(
             f"{nbytes}-byte stream exceeds the device decoder's int32 "
             f"bit-position range (~256 MiB); decode in smaller chunks")
+    if _pallas_decode_enabled():
+        return _decode_stream_pallas(stream_u8, starts, L)
     max_steps = L + L // MAX_RUN + 2
 
     # Per-byte big-endian 32-bit windows: w32[i] = bytes[i..i+4) (zero pad).

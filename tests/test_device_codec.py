@@ -158,3 +158,38 @@ def test_compress_ycbcr_chunked_device_path(monkeypatch):
                         (5 * DC.worst_case_block_bytes(64) + 1) * 8)
     assert DC.max_chunk_blocks(64) == 5            # 36 blocks -> 8 chunks
     assert api.compress_ycbcr(img, cfg) == want
+
+
+@pytest.mark.parametrize("L", [16, 64])
+def test_pallas_decode_kernel_matches_xla(L, monkeypatch):
+    """Mosaic bitstream-decode kernel (interpret mode) == XLA fallback."""
+    for density in (0.0, 0.08, 0.5):
+        levels = np.zeros((37, L), dtype=np.int32)
+        mask = RNG.random(levels.shape) < density
+        levels[mask] = RNG.integers(-16383, 16384, int(mask.sum()))
+        stream = NC.encode_levels(levels)
+        starts = NC.scan_offsets(stream, 37, L)
+        buf = jnp.asarray(np.frombuffer(stream, np.uint8))
+        st = jnp.asarray(starts)
+        want = np.asarray(DC.decode_stream(buf, st, L))     # XLA path (CPU)
+        monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+        got = np.asarray(DC.decode_stream(buf, st, L))      # kernel path
+        monkeypatch.delenv("JPEG_TPU_PALLAS")
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got, levels)
+
+
+def test_pallas_decode_kernel_edge_sizes(monkeypatch):
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    from jpeg_tpu.ops.pallas_kernels import DEC_TILE
+    L = 64
+    for n in (1, DEC_TILE, DEC_TILE + 3):
+        levels = np.zeros((n, L), dtype=np.int32)
+        levels[:, 0] = np.arange(n) % 1000 - 500
+        levels[:, L - 1] = 3
+        stream = NC.encode_levels(levels)
+        starts = NC.scan_offsets(stream, n, L)
+        got = np.asarray(DC.decode_stream(
+            jnp.asarray(np.frombuffer(stream, np.uint8)),
+            jnp.asarray(starts), L))
+        np.testing.assert_array_equal(got, levels)
