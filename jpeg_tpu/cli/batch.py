@@ -115,9 +115,69 @@ def run(indir: str, outdir: str, args, mesh=None) -> Metrics:
     return metrics
 
 
+def run_decompress(indir: str, outdir: str, args) -> Metrics:
+    """Batch decode: .jc containers -> .png, resumable and skip-and-report.
+
+    Decode is pipelined (api.decompress_many): blob i+1's host scan and
+    device bit-parse overlap blob i's plane download and PNG write.
+    """
+    from ..api import decompress_many
+    os.makedirs(outdir, exist_ok=True)
+    paths = sorted(os.path.join(indir, f) for f in os.listdir(indir)
+                   if f.endswith(".jc"))
+    metrics = Metrics()
+    pending: List[Tuple[str, str]] = []
+    for p in paths:
+        out = os.path.join(
+            outdir, os.path.splitext(os.path.basename(p))[0] + ".png")
+        if os.path.exists(out) and not args.force:
+            print(f"RESUME-SKIP {out} exists", file=sys.stderr)
+            continue
+        pending.append((p, out))
+
+    blobs, items = [], []
+    for p, out in pending:
+        try:
+            with open(p, "rb") as f:
+                blobs.append(f.read())
+            items.append((p, out))
+        except OSError as e:
+            print(f"SKIP {p}: unreadable: {e}", file=sys.stderr)
+            metrics.failures += 1
+
+    from PIL import Image
+    t0 = time.perf_counter()
+    idx = 0
+    # decompress_many is an iterator-friendly pipeline, but a corrupt blob
+    # must not abort the batch: decode one-group-at-a-time with fallback.
+    try:
+        imgs = decompress_many(blobs)
+    except Exception:  # noqa: BLE001 — fall back to per-blob isolation
+        imgs = []
+        for (p, _out), blob in zip(items, blobs):
+            try:
+                imgs.append(decompress_many([blob])[0])
+            except Exception as e:  # noqa: BLE001
+                print(f"SKIP {p}: corrupt container: {e}", file=sys.stderr)
+                imgs.append(None)
+                metrics.failures += 1
+    dt = time.perf_counter() - t0
+    n_ok = sum(1 for im in imgs if im is not None)
+    for (p, out), arr in zip(items, imgs):
+        if arr is None:
+            continue
+        Image.fromarray(arr, "YCbCr").convert("RGB").save(out)
+        metrics.add_image(arr.shape[0], arr.shape[1],
+                          os.path.getsize(p), dt / max(1, n_ok), None)
+        if args.verbose:
+            print(f"OK {p} -> {out}", file=sys.stderr)
+        idx += 1
+    return metrics
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
-        description="Batch-compress a directory of images (resumable)")
+        description="Batch-compress (or --decompress) a directory, resumable")
     p.add_argument("indir")
     p.add_argument("outdir")
     p.add_argument("--block_size", type=int, default=4)
@@ -133,6 +193,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="batch same-size images through the device mesh")
+    p.add_argument("--decompress", action="store_true",
+                   help="decode .jc containers back to .png instead")
     return p
 
 
@@ -140,6 +202,10 @@ def main(argv=None) -> int:
     from ..utils.jit_cache import enable_persistent_cache
     enable_persistent_cache()
     args = build_parser().parse_args(argv)
+    if args.decompress:
+        metrics = run_decompress(args.indir, args.outdir, args)
+        print(metrics.json_line())
+        return 1 if metrics.failures else 0
     mesh = None
     if args.mesh:
         from .. import parallel

@@ -133,3 +133,25 @@ def test_module_main_dispatch(tmp_path, capsys):
     assert (tmp_path / "r.png").exists()
     assert main(["nonsense"]) == 2
     assert main([]) == 2
+
+
+def test_batch_decompress_roundtrip(tmp_path):
+    indir, cdir, rdir = tmp_path / "in", tmp_path / "jc", tmp_path / "rec"
+    indir.mkdir()
+    for i in range(3):
+        _write_png(indir / f"img{i}.png", 24, 32)
+    _run(indir, cdir, "--block_size", "2")
+    args = batch.build_parser().parse_args(
+        [str(cdir), str(rdir), "--decompress"])
+    m = batch.run_decompress(str(cdir), str(rdir), args)
+    assert m.images == 3 and m.failures == 0
+    assert sorted(os.listdir(rdir)) == ["img0.png", "img1.png", "img2.png"]
+    # resume: second run decodes nothing new
+    m2 = batch.run_decompress(str(cdir), str(rdir), args)
+    assert m2.images == 0
+    # corrupt container: skipped and reported, good ones still decoded
+    (cdir / "bad.jc").write_bytes(b"\x01\x02corrupt")
+    for f in rdir.iterdir():
+        f.unlink()
+    m3 = batch.run_decompress(str(cdir), str(rdir), args)
+    assert m3.failures == 1 and m3.images == 3
