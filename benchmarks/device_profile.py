@@ -1,19 +1,17 @@
-"""Device-resident per-stage profile of the encode/decode pipeline.
+"""Device-resident per-stage profile via in-program dependent chains.
 
-Times each jitted stage on DEVICE-RESIDENT inputs with async dispatch:
-N calls are queued back-to-back and fenced once at the end, so per-call
-host->device dispatch latency (large through the axon tunnel) amortizes
-away and the number approximates pure chip time per call.
+Methodology (the only trustworthy one through the axon tunnel): each stage
+is measured as the MARGINAL cost of extra iterations inside ONE jitted
+program — ``fori_loop`` chains of k1 and k2 data-dependent iterations, one
+fenced call each, per-op = (t(k2) - t(k1)) / (k2 - k1).  Repeated-dispatch
+timing (queue N async calls, fence once) is NOT reliable on this backend:
+identical dispatches can be deduplicated/elided (reading ~0.03 ms for real
+work) or serialized per-call round trips (reading 100-400 ms for ~1 ms
+kernels).  Chained iterations are data-dependent, so nothing can be elided,
+and the per-call dispatch/RTT constant (~35-85 ms through the tunnel)
+cancels in the difference.
 
-Usage:  python benchmarks/device_profile.py [H W [reps]] [--json out.json]
-
-Stages:
-  coeff_enc      (3, H, W) pixels -> (3, N, L) int32 levels (Pallas/XLA path)
-  entropy_enc    (3N, L) levels -> device bitstream (entropy/device_codec.py)
-  fused_enc      one program: pixels -> bitstream + band lengths (api path)
-  entropy_dec    (stream, starts) -> (3N, L) levels (device bit parsing)
-  coeff_dec      (3, N, L) levels -> (3, H, W) uint8 planes
-  fused_dec      one program: (stream, starts) -> planes
+Usage:  python benchmarks/device_profile.py [H W] [--json out.json]
 """
 from __future__ import annotations
 
@@ -43,24 +41,30 @@ from jpeg_tpu import entropy  # noqa: E402
 from jpeg_tpu.entropy import device_codec as DC  # noqa: E402
 from jpeg_tpu.ops import band as band_ops  # noqa: E402
 
+K1, K2 = 2, 10
 
-def timeit(fn, args, reps: int, warmup: int = 2) -> float:
-    """Mean seconds/call with async dispatch and a single trailing fence."""
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+
+def _wall_once(fn, *args) -> float:
+    out = jax.block_until_ready(fn(*args))      # compile + warm
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    jax.block_until_ready(fn(*args))            # ONE fenced call
+    return time.perf_counter() - t0
+
+
+def marginal(body, init) -> float:
+    """Seconds per op: marginal cost of k2-k1 extra in-program iterations."""
+    def chain(k):
+        return jax.jit(
+            lambda x: jax.lax.fori_loop(0, k, lambda i, c: body(c), x))
+    t1 = _wall_once(chain(K1), init)
+    t2 = _wall_once(chain(K2), init)
+    return max(0.0, (t2 - t1) / (K2 - K1))
 
 
 def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     h = int(argv[0]) if len(argv) > 0 else 2048
     w = int(argv[1]) if len(argv) > 1 else 2048
-    reps = int(argv[2]) if len(argv) > 2 else 10
     out_json = None
     if "--json" in sys.argv:
         out_json = sys.argv[sys.argv.index("--json") + 1]
@@ -80,74 +84,90 @@ def main() -> None:
     key = band_ops.config_key(cfg)
     nb, L = cfg.num_blocks, cfg.dct_size ** 2
     print(f"backend={jax.default_backend()} image={h}x{w} ({mp:.1f} MP) "
-          f"blocks={3 * nb} L={L} pallas={pal} reps={reps}", file=sys.stderr)
+          f"blocks={3 * nb} L={L} pallas={pal} chain {K1}->{K2}",
+          file=sys.stderr)
 
-    dev = jax.devices()[0]
-    planes_d = jax.device_put(planes, dev)
+    enc = band_ops.make_encode(key, dt.name, pal)
+    dec = band_ops.make_decode(key, dt.name, pal)
+    pl_d = jax.device_put(planes)
+    levels = np.asarray(jax.jit(jax.vmap(enc))(pl_d)).reshape(-1, L)
+    stream = entropy.encode_levels(levels)
+    starts = entropy.scan_offsets(stream, 3 * nb, L)
+    from jpeg_tpu.utils.device import pow2_cap
+    pad = pow2_cap(len(stream))
+    arr = np.zeros(pad, np.uint8)
+    arr[:len(stream)] = np.frombuffer(stream, np.uint8)
+    arr_d = jax.device_put(arr)
+    st_d = jax.device_put(starts.astype(np.int32))
+    lv_d = jax.device_put(levels)
+    print(f"stream: {len(stream)} bytes ({3 * h * w / len(stream):.2f}x)",
+          file=sys.stderr)
+
+    # correctness gate before timing anything
+    got = np.asarray(jax.jit(
+        lambda s, t: DC.decode_stream(s, t, L))(arr_d, st_d))
+    assert np.array_equal(got, levels), "device decode mismatch"
 
     results = {}
 
     def record(name, secs):
         results[name] = {"ms": round(secs * 1e3, 3),
-                         "mps": round(mp / secs, 1)}
-        print(f"{name:14s} {secs * 1e3:8.2f} ms  {mp / secs:8.1f} MP/s",
-              file=sys.stderr)
+                         "mps": round(mp / secs, 1) if secs > 0 else None}
+        mps = f"{mp / secs:9.1f} MP/s" if secs > 0 else "  (< noise)"
+        print(f"{name:14s} {secs * 1e3:8.2f} ms {mps}", file=sys.stderr)
 
-    # --- coefficient encode only ---
-    enc = band_ops.make_encode(key, dt.name, pal)
-    coeff_fn = jax.jit(lambda b: jax.vmap(enc)(b))
-    record("coeff_enc", timeit(coeff_fn, (planes_d,), reps))
-    levels_d = jax.block_until_ready(coeff_fn(planes_d))  # (3, N, L) device
-    flat_d = jax.block_until_ready(
-        jax.jit(lambda x: x.reshape(-1, x.shape[-1]))(levels_d))
+    dtp = planes.dtype
 
-    # --- device entropy encode only ---
-    ent_fn = jax.jit(DC.encode_stream)
-    record("entropy_enc", timeit(ent_fn, (flat_d,), reps))
+    def dep(x):
+        # runtime-zero data dependence XLA cannot fold away (x & 0 or
+        # x * 0 would be algebraically simplified and the body DCE'd)
+        return jnp.minimum(jnp.abs(x).astype(jnp.int32), 0)
 
-    # --- fused encode (api path) ---
-    fused = api._encode3_stream_fn(key, dt.name, pal)
-    record("fused_enc", timeit(fused, (planes_d,), reps))
+    def coeff_enc(p):
+        lv = jax.vmap(enc)(p)
+        return p + dep(lv[0, 0, 0]).astype(dtp)
 
-    # --- decode inputs: true stream + block starts ---
-    stream, band_bytes, _ = jax.block_until_ready(fused(planes_d))
-    bb = [int(x) for x in np.asarray(band_bytes)]
-    total = sum(bb)
-    buf = np.asarray(stream)[:total]
-    print(f"stream: {total} bytes ({3 * h * w / total:.2f}x)", file=sys.stderr)
-    host_levels = np.asarray(flat_d)
-    # Block start offsets straight from the encoder's own per-block counts.
-    _, blk_b = jax.block_until_ready(jax.jit(DC.encode_stream)(flat_d))
-    blk_bytes = np.asarray(blk_b)
-    starts = np.concatenate([[0], np.cumsum(blk_bytes)[:-1]]).astype(np.int32)
+    record("coeff_enc", marginal(coeff_enc, pl_d))
 
-    from jpeg_tpu.utils.device import pow2_cap
-    pad = pow2_cap(total)
-    arr = np.zeros(pad, np.uint8)
-    arr[:total] = buf
-    arr_d = jax.device_put(arr, dev)
-    starts_d = jax.device_put(starts, dev)
+    def ent_enc(lv):
+        buf, bb = DC.encode_stream(lv)
+        return lv + dep(bb[0])
 
-    # --- device entropy decode only ---
-    dec_ent = jax.jit(lambda s, st: DC.decode_stream(s, st, L))
-    lv_out = jax.block_until_ready(dec_ent(arr_d, starts_d))
-    assert np.array_equal(np.asarray(lv_out), host_levels), "decode mismatch"
-    record("entropy_dec", timeit(dec_ent, (arr_d, starts_d), reps))
+    record("entropy_enc", marginal(ent_enc, lv_d))
 
-    # --- coefficient decode only ---
-    dec = band_ops.make_decode(key, dt.name, pal)
-    dec_fn = jax.jit(lambda lv: jax.vmap(dec)(lv.reshape(3, nb, L))
-                     .astype(jnp.uint8))
-    record("coeff_dec", timeit(dec_fn, (flat_d,), reps))
+    def fused_enc(p):
+        lv = jax.vmap(enc)(p)
+        buf, bb, mx = DC.encode_bands_stream(
+            lv.reshape(-1, L), 3)
+        return p + dep(mx).astype(dtp)
 
-    # --- fused decode (api path) ---
-    fdec = api._decode3_stream_fn(key, dt.name, pal, pad)
-    record("fused_dec", timeit(fdec, (arr_d, starts_d), reps))
+    record("fused_enc", marginal(fused_enc, pl_d))
+
+    def ent_dec(st):
+        lv = DC.decode_stream(arr_d, st, L)
+        return st + dep(lv[0, 0])
+
+    record("entropy_dec", marginal(ent_dec, st_d))
+
+    def coeff_dec(lv):
+        p = jax.vmap(dec)(lv.reshape(3, nb, L))
+        return lv + dep(p[0, 0, 0])
+
+    record("coeff_dec", marginal(coeff_dec, lv_d))
+
+    def fused_dec(st):
+        lv = DC.decode_stream(arr_d, st, L)
+        p = jax.vmap(dec)(lv.reshape(3, nb, L))
+        return st + dep(p[0, 0, 0])
+
+    record("fused_dec", marginal(fused_dec, st_d))
 
     if out_json:
         with open(out_json, "w") as f:
-            json.dump({"image": [h, w], "megapixels": mp, "reps": reps,
+            json.dump({"image": [h, w], "megapixels": mp,
+                       "chain": [K1, K2],
                        "backend": jax.default_backend(),
+                       "method": "in-program dependent chains (marginal)",
                        "stages": results}, f, indent=1)
         print(f"wrote {out_json}", file=sys.stderr)
 

@@ -113,12 +113,14 @@ from .utils.device import pull_prefix as _pull_prefix  # shared helper
 
 @functools.lru_cache(maxsize=None)
 def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
-                       nbytes_pad: int):
+                       nbytes_pad: int, max_bb: int = 0):
     """Fully-device decode: (stream bytes, block starts) -> (3, H, W) u8.
 
     The host does only the serial O(bytes) boundary scan; bit parsing, IDCT
     and clamping all run in one jitted program (entropy/device_codec.py).
-    ``nbytes_pad`` is the power-of-two padded stream size (static shape)."""
+    ``nbytes_pad`` is the power-of-two padded stream size (static shape);
+    ``max_bb`` the longest block in bytes (0 = worst case), which sizes the
+    decode word-row gather."""
     from .entropy import device_codec as DC
     h, w, bs, d, transform, qname, qparams = key
     cfg = Configuration(width=w, height=h, block_size=bs, dct_size=d,
@@ -129,7 +131,7 @@ def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
     dec = _band.make_decode(key, dtype_name, use_pallas)
 
     def f(stream_u8, starts):
-        levels = DC.decode_stream(stream_u8, starts, L)       # (3*nb, L)
+        levels = DC.decode_stream(stream_u8, starts, L, max_bb)  # (3*nb, L)
         planes = jax.vmap(dec)(levels.reshape(3, nb, L))
         return planes.astype(jnp.uint8)
 
@@ -137,18 +139,25 @@ def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
 
 
 def _decompress_device(config: Configuration, data: CompressedData, dt, pal):
+    from .entropy import device_codec as DC
     nb, L = config.num_blocks, config.dct_size ** 2
     streams = [data.y, data.cb, data.cr]
-    starts, off = [], 0
+    starts, off, max_bb = [], 0, 0
     for s in streams:
-        starts.append(entropy.scan_offsets(s, nb, L) + off)
+        sc = entropy.scan_offsets(s, nb, L)
+        starts.append(sc + off)
         off += len(s)
+        max_bb = max(max_bb, DC.max_block_bytes_of(sc, len(s)))
     from .utils.device import pow2_cap
     buf = b"".join(streams)
     pad = pow2_cap(len(buf))
     arr = np.zeros(pad, np.uint8)
     arr[:len(buf)] = np.frombuffer(buf, np.uint8)
-    fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad)
+    # Bucketed via words_per_block so the executable count stays small
+    # ((W-2)*4 is the fixed point: words_per_block maps it back to W).
+    bucket_bb = (DC.words_per_block(L, max_bb) - 2) * 4
+    fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad,
+                            bucket_bb)
     return np.asarray(fn(arr, np.concatenate(starts)))
 
 

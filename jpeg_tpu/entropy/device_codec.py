@@ -140,14 +140,32 @@ def _pallas_decode_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _decode_stream_pallas(stream_u8, starts, L: int):
+def words_per_block(L: int, max_block_bytes: int = 0) -> int:
+    """Word-row width for the Pallas decode kernel.
+
+    The HBM gather feeding the kernel is the decode bottleneck (~17 ms for
+    4 MP at the worst-case width), and its cost is per gathered element —
+    so the width comes from the band's ACTUAL longest block when the caller
+    knows it (host scan side-product), bucketed to powers of two to bound
+    the number of compiled programs.  0 means worst case.
+    """
+    wc = worst_case_block_bytes(L)
+    full = wc // 4 + 2
+    if max_block_bytes <= 0 or max_block_bytes >= wc:
+        return full
+    w = (max_block_bytes + 3) // 4 + 2
+    b = 8
+    while b < w:
+        b <<= 1
+    return min(b, full)
+
+
+def _decode_stream_pallas(stream_u8, starts, L: int, W: int):
     """TPU path: one gather builds per-block stream words, then the Mosaic
     kernel (ops/pallas_kernels.py:_decode_stream_kernel) decodes every
     block in VMEM with zero per-step HBM gathers/scatters."""
     from ..ops import pallas_kernels as PK
     nbytes = stream_u8.shape[0]
-    wc = worst_case_block_bytes(L)
-    W = wc // 4 + 2        # words covering every in-block window read
     # int32 words (Mosaic has no unsigned reductions); <<24 of high bytes
     # wraps negative, which is exactly the right bit pattern.
     p = jnp.concatenate([stream_u8.astype(jnp.int32),
@@ -160,9 +178,22 @@ def _decode_stream_pallas(stream_u8, starts, L: int):
     return PK.decode_stream_words(w32[idx], L)
 
 
-def decode_stream(stream_u8, starts, L: int):
+def max_block_bytes_of(starts: np.ndarray, total_len: int) -> int:
+    """Longest block stream in bytes, from scan offsets (host side)."""
+    starts = np.asarray(starts)
+    if starts.size == 0:
+        return 0
+    ends = np.append(starts[1:], total_len)
+    return int((ends - starts).max())
+
+
+def decode_stream(stream_u8, starts, L: int, max_block_bytes: int = 0):
     """Block-parallel device decode: (stream bytes, block start offsets) ->
     (N, L) int32 levels.
+
+    ``max_block_bytes`` (static) tightens the per-block word-row width on
+    the Pallas path — the host scan knows the longest block, and the HBM
+    gather cost scales with N x width.  0 = worst case (always safe).
 
     The serial part of decode — finding where each block's bitstream starts
     — happens host-side in one O(bytes) scan (entropy.scan_offsets), which
@@ -190,7 +221,8 @@ def decode_stream(stream_u8, starts, L: int):
             f"{nbytes}-byte stream exceeds the device decoder's int32 "
             f"bit-position range (~256 MiB); decode in smaller chunks")
     if _pallas_decode_enabled():
-        return _decode_stream_pallas(stream_u8, starts, L)
+        return _decode_stream_pallas(stream_u8, starts, L,
+                                     words_per_block(L, max_block_bytes))
     max_steps = L + L // MAX_RUN + 2
 
     # Per-byte big-endian 32-bit windows: w32[i] = bytes[i..i+4) (zero pad).

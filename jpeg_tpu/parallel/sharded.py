@@ -255,7 +255,10 @@ def decompress_plane(data: bytes, config: Configuration, mesh,
         pad = pow2_cap(len(data))
         arr = np.zeros(pad, np.uint8)
         arr[:len(data)] = np.frombuffer(data, np.uint8)
-        cache_key = ("dec_plane_stream", key, dt.name, flat, pad, pal)
+        bucket_bb = (DC.words_per_block(
+            L, DC.max_block_bytes_of(starts, len(data))) - 2) * 4
+        cache_key = ("dec_plane_stream", key, dt.name, flat, pad, pal,
+                     bucket_bb)
         fn = _PLANE_FNS.get(cache_key)
         if fn is None:
             decode_one = band_ops.make_decode(key, dt.name, pal)
@@ -265,7 +268,8 @@ def decompress_plane(data: bytes, config: Configuration, mesh,
             def step(stream_u8, starts_arr):
                 # Stream/starts replicate (compressed bytes are small);
                 # the lockstep bit parse and IDCT shard over block rows.
-                levels = DC.decode_stream(stream_u8, starts_arr, L)
+                levels = DC.decode_stream(stream_u8, starts_arr, L,
+                                          bucket_bb)
                 levels = jax.lax.with_sharding_constraint(levels, lv_sh)
                 return decode_one(levels)
 
@@ -462,19 +466,21 @@ def _decompress_batch_device(flat_streams: List[bytes],
     with ThreadPoolExecutor(max_workers=min(16, len(flat_streams))) as pool:
         scans = list(pool.map(
             lambda s: entropy.scan_offsets(s, nb, L), flat_streams))
-    starts, off = [], 0
+    starts, off, max_bb = [], 0, 0
     for s, sc in zip(flat_streams, scans):
         starts.append(sc + off)
         off += len(s)
+        max_bb = max(max_bb, DC.max_block_bytes_of(sc, len(s)))
     buf = b"".join(flat_streams)
     pad = pow2_cap(len(buf))
     arr = np.zeros(pad, np.uint8)
     arr[:len(buf)] = np.frombuffer(buf, np.uint8)
+    bucket_bb = (DC.words_per_block(L, max_bb) - 2) * 4
 
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
     key = band_ops.config_key(config)
     pal = _mesh_pallas(mesh, dt, config.transform)
-    cache_key = ("dec_stream", key, dt.name, mesh, pad, b, pal)
+    cache_key = ("dec_stream", key, dt.name, mesh, pad, b, pal, bucket_bb)
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -486,7 +492,7 @@ def _decompress_batch_device(flat_streams: List[bytes],
             P(mesh_lib.DATA_AXIS, None, mesh_lib.BAND_AXIS, None)))
 
         def step(stream_u8, starts_all):
-            levels = DC.decode_stream(stream_u8, starts_all, L)
+            levels = DC.decode_stream(stream_u8, starts_all, L, bucket_bb)
             levels = jax.lax.with_sharding_constraint(
                 levels.reshape(b, 3, nb, L), lv_sh)
             planes = jax.vmap(jax.vmap(decode_one))(levels)

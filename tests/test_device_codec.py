@@ -193,3 +193,33 @@ def test_pallas_decode_kernel_edge_sizes(monkeypatch):
             jnp.asarray(np.frombuffer(stream, np.uint8)),
             jnp.asarray(starts), L))
         np.testing.assert_array_equal(got, levels)
+
+
+def test_words_per_block_buckets():
+    assert DC.words_per_block(64, 0) == 48          # worst case
+    assert DC.words_per_block(64, 300) == 48        # > wc clamps to full
+    assert DC.words_per_block(64, 20) == 8
+    assert DC.words_per_block(64, 25) == 16
+    assert DC.words_per_block(64, 60) == 32
+    assert DC.words_per_block(64, 120) == 32
+    assert DC.words_per_block(64, 160) == 48        # pow2 64 clamps to full
+    # bucket fixed point: (W-2)*4 maps back to W
+    for mb in (0, 5, 20, 60, 120, 185):
+        W = DC.words_per_block(64, mb)
+        assert DC.words_per_block(64, (W - 2) * 4) == W
+
+
+def test_pallas_decode_dynamic_width(monkeypatch):
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    L = 64
+    levels = np.zeros((37, L), dtype=np.int32)
+    mask = RNG.random(levels.shape) < 0.2
+    levels[mask] = RNG.integers(-900, 900, int(mask.sum()))
+    stream = NC.encode_levels(levels)
+    starts = NC.scan_offsets(stream, 37, L)
+    buf = jnp.asarray(np.frombuffer(stream, np.uint8))
+    st = jnp.asarray(starts)
+    mbb = DC.max_block_bytes_of(starts, len(stream))
+    for bb in (0, mbb, (DC.words_per_block(L, mbb) - 2) * 4):
+        got = np.asarray(DC.decode_stream(buf, st, L, bb))
+        np.testing.assert_array_equal(got, levels)
