@@ -103,9 +103,16 @@ def main() -> None:
     print(f"stream: {len(stream)} bytes ({3 * h * w / len(stream):.2f}x)",
           file=sys.stderr)
 
+    # production decode passes the bucketed longest-block width, which
+    # sizes the word-row gather (the decode bottleneck)
+    bucket_bb = (DC.words_per_block(
+        L, DC.max_block_bytes_of(starts, len(stream))) - 2) * 4
+    print(f"decode word width: {DC.words_per_block(L, bucket_bb)} "
+          f"(worst case {DC.words_per_block(L, 0)})", file=sys.stderr)
+
     # correctness gate before timing anything
     got = np.asarray(jax.jit(
-        lambda s, t: DC.decode_stream(s, t, L))(arr_d, st_d))
+        lambda s, t: DC.decode_stream(s, t, L, bucket_bb))(arr_d, st_d))
     assert np.array_equal(got, levels), "device decode mismatch"
 
     results = {}
@@ -144,7 +151,7 @@ def main() -> None:
     record("fused_enc", marginal(fused_enc, pl_d))
 
     def ent_dec(st):
-        lv = DC.decode_stream(arr_d, st, L)
+        lv = DC.decode_stream(arr_d, st, L, bucket_bb)
         return st + dep(lv[0, 0])
 
     record("entropy_dec", marginal(ent_dec, st_d))
@@ -156,7 +163,7 @@ def main() -> None:
     record("coeff_dec", marginal(coeff_dec, lv_d))
 
     def fused_dec(st):
-        lv = DC.decode_stream(arr_d, st, L)
+        lv = DC.decode_stream(arr_d, st, L, bucket_bb)
         p = jax.vmap(dec)(lv.reshape(3, nb, L))
         return st + dep(p[0, 0, 0])
 

@@ -79,16 +79,51 @@ def make_encode(key: Tuple, dtype_name: str,
         op_t = np.kron(np.eye(pack), enc_op.T)
         mul_v, div_v, mask_v = (np.tile(v, pack)
                                 for v in Q.epilogue_vectors(method, d))
+    # Divisible geometry (no edge padding anywhere): the WHOLE f32
+    # coefficient path collapses into one matmul with the combined
+    # subsample+transform+zigzag operator — as a Mosaic kernel when Pallas
+    # is on, as a single XLA dot otherwise (bit-identical: same operator,
+    # same HIGHEST-precision accumulation).  Padded shapes keep the
+    # two-step chain (pixel-domain edge replication does not commute with
+    # mean-pooling at the seam).
+    divisible = (h % bs == 0 and w % bs == 0
+                 and (h // bs) % d == 0 and (w // bs) % d == 0)
+    combined = (transform in ("DCT", "DFT") and divisible
+                and dtype != jnp.float64)
+    if combined:
+        op2 = T.combined_encode_operator(d, bs, transform)   # (L, D*D)
+        mul_1, div_1, mask_1 = Q.epilogue_vectors(method, d)
+    fused_plane = use_pallas and combined
 
     def f(band):
+        if combined:
+            # One XLA relayout (blockify) + one rectangular matmul with the
+            # combined operator — subsample, pad and pack passes all gone.
+            D = d * bs
+            blk16 = B.blockify(band.astype(jnp.float32), D)
+            vecs = blk16.reshape(-1, D * D)
+            if fused_plane:
+                return PK.encode_blocks(
+                    vecs, jnp.asarray(op2.T, jnp.float32),
+                    jnp.asarray(mul_1), jnp.asarray(div_1),
+                    jnp.asarray(mask_1))
+            coeffs = jnp.matmul(vecs, jnp.asarray(op2.T, jnp.float32),
+                                precision=T._mm_precision())
+            levels = Q.quantize(coeffs, method, d)
+            return levels.astype(jnp.int32)
         a = band
         if bs > 1:                      # Padding step skips when block_size==1
             a = B.pad_edge(a, bs)       # (reference pipeline/padding.py:9-10)
-        sub = B.subsample(a.astype(dtype), bs)
+        parity = dtype == jnp.float64
+        if parity:
+            sub = B.subsample(a.astype(dtype), bs)
+        else:
+            # f32 fast path for padded shapes: fixed-order adds
+            # (ops/blocks.py:subsample_fast), then the two-step transform.
+            sub = B.subsample_fast(a, bs)
         sub = B.pad_edge(sub, d)
         blk = B.blockify(sub, d)        # (NV, NH, d, d)
         nv, nh = blk.shape[:2]
-        parity = dtype == jnp.float64
         if transform not in ("DCT", "DFT"):
             raise ValueError(f"unknown transform {transform!r}")
         if parity:

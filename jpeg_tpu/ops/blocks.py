@@ -69,6 +69,31 @@ def subsample(a, block_size: int):
     return total / denom
 
 
+def subsample_fast(a, block_size: int):
+    """f32 fast-path mean-pool with a FIXED evaluation order.
+
+    Explicit left-associated strided adds then a reciprocal multiply —
+    exactly the expression the fused Mosaic encode kernel uses
+    (ops/pallas_kernels.py:encode_plane), so the XLA fallback and the
+    kernel stay bit-identical in f32.  Parity (f64) mode keeps
+    :func:`subsample`'s sum-then-true-divide, which matches the reference
+    bitwise; the f32 path never promises reference bit parity.
+    """
+    _check_2d(a)
+    h, w = a.shape
+    if h % block_size or w % block_size:
+        a = pad_edge(a, block_size)
+        h, w = a.shape
+    x = a.astype(jnp.float32)
+    bs = block_size
+    acc = None
+    for bi in range(bs):
+        for bj in range(bs):
+            part = x[bi::bs, bj::bs]
+            acc = part if acc is None else acc + part
+    return acc * jnp.float32(1.0 / (bs * bs))
+
+
 def inflate(a, factor: int):
     """Nearest-neighbour upsample; inverse of :func:`subsample`
     (reference util.py:6-14)."""

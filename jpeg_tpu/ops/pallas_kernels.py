@@ -68,26 +68,29 @@ def _decode_kernel(lv_ref, wt_ref, deq_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def encode_blocks(blocks_vec, op_t, mul, div, mask, interpret=None):
-    """(N, L) f32 pixel blocks -> (N, L) int32 quantized zigzag levels.
+    """(N, K) f32 pixel blocks -> (N, L) int32 quantized zigzag levels.
 
     Args:
-      blocks_vec: (N, L) row-major flattened pixel blocks.
-      op_t: (L, L) transposed fused DCT+zigzag operator
-        (ops/transform.py:encode_operator).
+      blocks_vec: (N, K) row-major flattened pixel blocks.  K may exceed L:
+        with the combined subsample+transform operator
+        (ops/transform.py:combined_encode_operator) K = (d*bs)^2 — the
+        whole coefficient path is this one matmul.
+      op_t: (K, L) transposed fused operator.
       mul, div, mask: (L,) quantizer epilogue vectors in zigzag order.
     """
     if interpret is None:
         interpret = _interpret()
-    n, L = blocks_vec.shape
+    n, K = blocks_vec.shape
+    L = op_t.shape[1]
     vecs2 = lambda v: v.reshape(1, L).astype(jnp.float32)
     grid = pl.cdiv(n, TILE)
     return pl.pallas_call(
         _encode_kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE, L), lambda i: (i, 0),
+            pl.BlockSpec((TILE, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -96,7 +99,8 @@ def encode_blocks(blocks_vec, op_t, mul, div, mask, interpret=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, L), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * L * L, bytes_accessed=8 * n * L, transcendentals=0),
+            flops=2 * n * K * L, bytes_accessed=4 * n * (K + L),
+            transcendentals=0),
         interpret=interpret,
     )(blocks_vec.astype(jnp.float32), op_t.astype(jnp.float32),
       vecs2(mul), vecs2(div), vecs2(mask))

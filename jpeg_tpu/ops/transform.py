@@ -101,6 +101,34 @@ def decode_operator(n: int) -> np.ndarray:
     return w2[:, zigzag_permutation(n)]
 
 
+@functools.lru_cache(maxsize=None)
+def combined_encode_operator(d: int, bs: int,
+                             transform: str = "DCT") -> np.ndarray:
+    """(d*d, (d*bs)^2) operator fusing mean-pool subsample with the
+    transform+zigzag matmul: ``coeffs_zz = OP2 @ vec(pixel_block)`` where
+    the pixel block is the (d*bs) x (d*bs) region that subsamples to one
+    d x d transform block.
+
+    The entire f32 coefficient path becomes ONE matmul — the TPU-first
+    form: no separate subsample pass, no intermediate plane.  Built in
+    float64 and cast to f32 at use, like the plain operators.  Only valid
+    when the band needs no edge padding (callers gate on divisibility; the
+    padded path keeps the two-step chain because pixel-domain edge
+    replication does not commute with mean-pooling at the seam).
+    """
+    D = d * bs
+    sub = np.zeros((d * d, D * D), dtype=np.float64)
+    w = 1.0 / (bs * bs)
+    for p in range(d):
+        for q in range(d):
+            for i in range(bs):
+                for j in range(bs):
+                    sub[p * d + q, (p * bs + i) * D + (q * bs + j)] = w
+    enc = (encode_operator(d) if transform == "DCT"
+           else dft_encode_operator(d))
+    return enc @ sub
+
+
 def _mm_precision():
     # Full-f32 accumulation on the MXU (3-pass bf16); required because pixel
     # blocks have magnitude up to 255*d*d and bf16's 8-bit mantissa is far

@@ -118,3 +118,49 @@ def test_packed_band_encode_decode_matches_xla(d):
     g_pal = jax.jit(band_ops.make_decode(key, "float32", use_pallas=True))
     np.testing.assert_array_equal(np.asarray(g_pal(lv_x)),
                                   np.asarray(g_xla(lv_x)))
+
+
+def test_fused_plane_encode_matches_xla(monkeypatch):
+    """Fully-fused plane kernel (interpret) == f32 XLA op-by-op path,
+    for DCT and DFT, several quantizers and geometries."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    from jpeg_tpu.config import Configuration
+    from jpeg_tpu.ops import band as band_ops
+    rng = np.random.default_rng(5)
+    cases = [
+        dict(width=128, height=96, block_size=2, dct_size=8,
+             quantization=QuantizationMethod("qtable")),
+        dict(width=64, height=32, block_size=1, dct_size=8,
+             quantization=QuantizationMethod("divide", divisor=40)),
+        dict(width=96, height=48, block_size=2, dct_size=4,
+             quantization=QuantizationMethod("none")),
+        dict(width=128, height=64, block_size=2, dct_size=8,
+             transform="DFT", quantization=QuantizationMethod("none")),
+    ]
+    for kw in cases:
+        cfg = Configuration(**kw)
+        key = band_ops.config_key(cfg)
+        band = rng.integers(0, 256, (cfg.height, cfg.width)).astype(np.int32)
+        lv_pal = np.asarray(
+            band_ops.make_encode(key, "float32", True)(jnp.asarray(band)))
+        lv_xla = np.asarray(
+            band_ops.make_encode(key, "float32", False)(jnp.asarray(band)))
+        np.testing.assert_array_equal(lv_pal, lv_xla, err_msg=str(kw))
+
+
+def test_fused_plane_gate_falls_back_on_odd_shapes(monkeypatch):
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    from jpeg_tpu.config import Configuration
+    from jpeg_tpu.ops import band as band_ops
+    rng = np.random.default_rng(6)
+    # 50x34 with bs=2 -> 25x17 subsampled, needs DCT padding: must take the
+    # op-by-op path and still match XLA bitwise.
+    cfg = Configuration(width=50, height=34, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    key = band_ops.config_key(cfg)
+    band = rng.integers(0, 256, (34, 50)).astype(np.int32)
+    lv_pal = np.asarray(
+        band_ops.make_encode(key, "float32", True)(jnp.asarray(band)))
+    lv_xla = np.asarray(
+        band_ops.make_encode(key, "float32", False)(jnp.asarray(band)))
+    np.testing.assert_array_equal(lv_pal, lv_xla)
