@@ -62,12 +62,15 @@ def marginal(body, init) -> float:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_json = None
+    rest = list(sys.argv[1:])
+    if "--json" in rest:
+        i = rest.index("--json")
+        out_json = rest[i + 1]
+        del rest[i:i + 2]
+    argv = [a for a in rest if not a.startswith("--")]
     h = int(argv[0]) if len(argv) > 0 else 2048
     w = int(argv[1]) if len(argv) > 1 else 2048
-    out_json = None
-    if "--json" in sys.argv:
-        out_json = sys.argv[sys.argv.index("--json") + 1]
 
     cfg = Configuration(width=w, height=h, block_size=2, dct_size=8,
                         quantization=QuantizationMethod("qtable"))
@@ -105,8 +108,8 @@ def main() -> None:
 
     # production decode passes the bucketed longest-block width, which
     # sizes the word-row gather (the decode bottleneck)
-    bucket_bb = (DC.words_per_block(
-        L, DC.max_block_bytes_of(starts, len(stream))) - 2) * 4
+    bucket_bb = DC.bucket_block_bytes(
+        L, DC.max_block_bytes_of(starts, len(stream)))
     print(f"decode word width: {DC.words_per_block(L, bucket_bb)} "
           f"(worst case {DC.words_per_block(L, 0)})", file=sys.stderr)
 

@@ -153,9 +153,9 @@ def _decompress_device(config: Configuration, data: CompressedData, dt, pal):
     pad = pow2_cap(len(buf))
     arr = np.zeros(pad, np.uint8)
     arr[:len(buf)] = np.frombuffer(buf, np.uint8)
-    # Bucketed via words_per_block so the executable count stays small
-    # ((W-2)*4 is the fixed point: words_per_block maps it back to W).
-    bucket_bb = (DC.words_per_block(L, max_bb) - 2) * 4
+    # Bucketed so the executable count stays small (bucket_block_bytes
+    # is the fixed point of the width bucketing).
+    bucket_bb = DC.bucket_block_bytes(L, max_bb)
     fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad,
                             bucket_bb)
     return np.asarray(fn(arr, np.concatenate(starts)))

@@ -140,42 +140,74 @@ def _pallas_decode_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Group-alignment slack words in every decode row: the grouped gather hands
+# the kernel rows that start at a 4*G-byte boundary at or before the block's
+# first byte, so up to 4*G-1 bytes of the row precede the block.  Must equal
+# ops/pallas_kernels.DEC_GROUP (asserted at the use site).
+_SLACK_WORDS = 4
+
+
 def words_per_block(L: int, max_block_bytes: int = 0) -> int:
     """Word-row width for the Pallas decode kernel.
 
-    The HBM gather feeding the kernel is the decode bottleneck (~17 ms for
-    4 MP at the worst-case width), and its cost is per gathered element —
+    The kernel's per-iteration funnel-shift cost scales with the row width,
     so the width comes from the band's ACTUAL longest block when the caller
-    knows it (host scan side-product), bucketed to powers of two to bound
-    the number of compiled programs.  0 means worst case.
+    knows it (host scan side-product) plus the group-alignment slack,
+    bucketed (multiples of DEC_GROUP, ~1.5x steps past 24) to bound the
+    number of compiled programs.  0 means worst case.
     """
     wc = worst_case_block_bytes(L)
-    full = wc // 4 + 2
+    full = -(-((wc + 3) // 4 + _SLACK_WORDS) // 4) * 4
     if max_block_bytes <= 0 or max_block_bytes >= wc:
         return full
-    w = (max_block_bytes + 3) // 4 + 2
-    b = 8
-    while b < w:
-        b <<= 1
-    return min(b, full)
+    w = (max_block_bytes + 3) // 4 + _SLACK_WORDS
+    for b in (8, 12, 16, 20, 24, 36):
+        if w <= b < full:
+            return b
+    return full
+
+
+def bucket_block_bytes(L: int, max_block_bytes: int) -> int:
+    """Static cache key for a band's longest block: the byte count whose
+    words_per_block equals the bucketed width (its own fixed point), so all
+    bands sharing a width bucket share one compiled decode program."""
+    return (words_per_block(L, max_block_bytes) - _SLACK_WORDS) * 4
 
 
 def _decode_stream_pallas(stream_u8, starts, L: int, W: int):
-    """TPU path: one gather builds per-block stream words, then the Mosaic
-    kernel (ops/pallas_kernels.py:_decode_stream_kernel) decodes every
-    block in VMEM with zero per-step HBM gathers/scatters."""
+    """TPU path: one GROUPED gather builds per-block stream word rows, then
+    the Mosaic kernel (ops/pallas_kernels.py:_decode_stream_kernel) decodes
+    every block in VMEM with zero per-step HBM gathers/scatters.
+
+    The gather fetches (N, Wg) CONTIGUOUS G-word groups from a
+    group-reshaped word table instead of (N, W) single words — XLA TPU
+    gather cost scales with the number of indices, so this is ~G x cheaper
+    (measured 5.4 ms -> 0.1-0.3 ms for a 4 MP band).  Rows arrive
+    group-aligned; the kernel discards the per-block bit phase in VMEM.
+    ``W`` already includes the _SLACK_WORDS of group-alignment slack, so
+    the row is exactly W = (W // G) groups wide.
+    """
     from ..ops import pallas_kernels as PK
+    G = PK.DEC_GROUP
+    assert G == _SLACK_WORDS and W % G == 0, (G, W)
+    gb = 4 * G                                  # bytes per group
+    n_groups = W // G
     nbytes = stream_u8.shape[0]
+    # Zero-pad so every gathered group is in range (zeros decode as EOB —
+    # never reached, blocks end at their own EOB).  All shapes static.
+    padded = (-(-nbytes // gb) + n_groups) * gb
     # int32 words (Mosaic has no unsigned reductions); <<24 of high bytes
     # wraps negative, which is exactly the right bit pattern.
     p = jnp.concatenate([stream_u8.astype(jnp.int32),
-                         jnp.zeros(3, jnp.int32)])
-    w32 = ((p[:-3] << 24) | (p[1:-2] << 16) | (p[2:-1] << 8) | p[3:])
-    idx = jnp.minimum(
-        starts[:, None].astype(jnp.int32)
-        + 4 * jnp.arange(W, dtype=jnp.int32)[None, :],
-        jnp.int32(max(nbytes - 1, 0)))
-    return PK.decode_stream_words(w32[idx], L)
+                         jnp.zeros(padded - nbytes, jnp.int32)]).reshape(-1, 4)
+    words = (p[:, 0] << 24) | (p[:, 1] << 16) | (p[:, 2] << 8) | p[:, 3]
+    tbl = words.reshape(-1, G)
+    s32 = starts.astype(jnp.int32)
+    g0 = s32 // gb
+    idx = g0[:, None] + jnp.arange(n_groups, dtype=jnp.int32)[None, :]
+    rows = tbl[idx].reshape(starts.shape[0], n_groups * G)
+    phase = ((s32 % gb) * 8)[:, None]
+    return PK.decode_stream_rows(rows, phase, L)
 
 
 def max_block_bytes_of(starts: np.ndarray, total_len: int) -> int:

@@ -179,11 +179,24 @@ def make_decode(key: Tuple, dtype_name: str,
     deq_v = Q.dequant_int_vector(method, d)
     use_pallas = (use_pallas and transform in ("DCT", "DFT")
                   and deq_v is not None)
+    # Divisible geometry: the decode dual of the combined encode operator —
+    # dezigzag + IDCT + nearest-neighbor inflate as ONE matmul (replica
+    # rows are identical, so round-after-matmul == round-then-inflate
+    # bitwise; see transform.py:combined_decode_operator).  Kills the
+    # separate inflate/crop HBM passes.
+    divisible = (h % bs == 0 and w % bs == 0
+                 and (h // bs) % d == 0 and (w // bs) % d == 0)
+    combined = (transform in ("DCT", "DFT") and divisible
+                and dtype != jnp.float64)
+    D = d * bs
+    if combined:
+        dec2 = T.combined_decode_operator(d, bs, transform)   # (D*D, L)
     if use_pallas:
         pack = PK.pack_factor(L)
         dec_op = (T.decode_operator(d) if transform == "DCT"
                   else T.dft_decode_operator(d))
-        w_t = np.kron(np.eye(pack), dec_op.T)
+        base = dec2 if combined else dec_op
+        w_t = np.kron(np.eye(pack), base.T)
         deq_v = np.tile(deq_v, pack)
 
     def f(levels):
@@ -195,14 +208,26 @@ def make_decode(key: Tuple, dtype_name: str,
                 lv = jnp.concatenate(
                     [lv, jnp.zeros((n_grp * pack - n_blocks, L), jnp.int32)],
                     axis=0)
+            out_w = D * D if combined else L
             pix = PK.decode_blocks(lv.reshape(n_grp, pack * L),
                                    jnp.asarray(w_t, jnp.float32),
                                    jnp.asarray(deq_v))
-            pix = pix.reshape(n_grp * pack, L)[:n_blocks]
+            pix = pix.reshape(n_grp * pack, out_w)[:n_blocks]
+            if combined:
+                # one matmul emitted full (D, D) pixel superblocks: the
+                # plane is a pure relayout away, no inflate/crop passes.
+                return B.deblockify(pix.reshape(nv, nh, D, D))
             plane = B.deblockify(pix.reshape(nv, nh, d, d))
             plane = B.crop(plane, cfg.subsampled_height, cfg.subsampled_width)
             plane = B.inflate(plane, bs)
             return B.crop(plane, h, w)
+        if combined:
+            itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+            deq = Q.dequantize(levels.astype(itype), method, d)
+            pix = jnp.matmul(deq.astype(dtype), jnp.asarray(dec2.T, dtype),
+                             precision=T._mm_precision())
+            pix = jnp.clip(jnp.round(pix), 0, 255).astype(jnp.int32)
+            return B.deblockify(pix.reshape(nv, nh, D, D))
         # int64 only in x64/parity mode; int32 is ample on TPU (|level| <=
         # 16383 and the largest qtable restore product is < 2**21).
         itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32

@@ -129,6 +129,33 @@ def combined_encode_operator(d: int, bs: int,
     return enc @ sub
 
 
+@functools.lru_cache(maxsize=None)
+def combined_decode_operator(d: int, bs: int,
+                             transform: str = "DCT") -> np.ndarray:
+    """((d*bs)^2, d*d) operator fusing dezigzag+IDCT with the
+    nearest-neighbor inflate: ``vec(pixel_block) = OP2 @ coeffs_zz`` where
+    the pixel block is the (d*bs) x (d*bs) region one d x d transform block
+    inflates to (reference pipeline/subsampling.py invert: each subsampled
+    pixel repeats bs x bs).
+
+    Replica rows are IDENTICAL rows of the plain decode operator, so each
+    replica's f32 dot product is bitwise equal — rounding after the matmul
+    equals the reference's round-then-inflate order exactly.  Only valid on
+    divisible geometry (no crops anywhere); callers gate like the encode
+    dual (combined_encode_operator).
+    """
+    D = d * bs
+    rep = np.zeros((D * D, d * d), dtype=np.float64)
+    for p in range(d):
+        for q in range(d):
+            for i in range(bs):
+                for j in range(bs):
+                    rep[(p * bs + i) * D + (q * bs + j), p * d + q] = 1.0
+    dec = (decode_operator(d) if transform == "DCT"
+           else dft_decode_operator(d))
+    return rep @ dec
+
+
 def _mm_precision():
     # Full-f32 accumulation on the MXU (3-pass bf16); required because pixel
     # blocks have magnitude up to 255*d*d and bf16's 8-bit mantissa is far

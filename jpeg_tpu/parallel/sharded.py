@@ -255,8 +255,8 @@ def decompress_plane(data: bytes, config: Configuration, mesh,
         pad = pow2_cap(len(data))
         arr = np.zeros(pad, np.uint8)
         arr[:len(data)] = np.frombuffer(data, np.uint8)
-        bucket_bb = (DC.words_per_block(
-            L, DC.max_block_bytes_of(starts, len(data))) - 2) * 4
+        bucket_bb = DC.bucket_block_bytes(
+            L, DC.max_block_bytes_of(starts, len(data)))
         cache_key = ("dec_plane_stream", key, dt.name, flat, pad, pal,
                      bucket_bb)
         fn = _PLANE_FNS.get(cache_key)
@@ -475,7 +475,7 @@ def _decompress_batch_device(flat_streams: List[bytes],
     pad = pow2_cap(len(buf))
     arr = np.zeros(pad, np.uint8)
     arr[:len(buf)] = np.frombuffer(buf, np.uint8)
-    bucket_bb = (DC.words_per_block(L, max_bb) - 2) * 4
+    bucket_bb = DC.bucket_block_bytes(L, max_bb)
 
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
     key = band_ops.config_key(config)

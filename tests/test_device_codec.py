@@ -196,17 +196,21 @@ def test_pallas_decode_kernel_edge_sizes(monkeypatch):
 
 
 def test_words_per_block_buckets():
-    assert DC.words_per_block(64, 0) == 48          # worst case
-    assert DC.words_per_block(64, 300) == 48        # > wc clamps to full
-    assert DC.words_per_block(64, 20) == 8
-    assert DC.words_per_block(64, 25) == 16
-    assert DC.words_per_block(64, 60) == 32
-    assert DC.words_per_block(64, 120) == 32
-    assert DC.words_per_block(64, 160) == 48        # pow2 64 clamps to full
-    # bucket fixed point: (W-2)*4 maps back to W
+    assert DC.words_per_block(64, 0) == 52          # worst case (185 B)
+    assert DC.words_per_block(64, 300) == 52        # > wc clamps to full
+    assert DC.words_per_block(64, 13) == 8
+    assert DC.words_per_block(64, 20) == 12
+    assert DC.words_per_block(64, 25) == 12
+    assert DC.words_per_block(64, 43) == 16
+    assert DC.words_per_block(64, 60) == 20
+    assert DC.words_per_block(64, 120) == 36
+    assert DC.words_per_block(64, 160) == 52        # past 36 clamps to full
+    # every width is a whole number of gather groups
     for mb in (0, 5, 20, 60, 120, 185):
         W = DC.words_per_block(64, mb)
-        assert DC.words_per_block(64, (W - 2) * 4) == W
+        assert W % DC._SLACK_WORDS == 0
+        # bucket fixed point: bucket_block_bytes maps back to the same W
+        assert DC.words_per_block(64, DC.bucket_block_bytes(64, mb)) == W
 
 
 def test_pallas_decode_dynamic_width(monkeypatch):
@@ -220,6 +224,6 @@ def test_pallas_decode_dynamic_width(monkeypatch):
     buf = jnp.asarray(np.frombuffer(stream, np.uint8))
     st = jnp.asarray(starts)
     mbb = DC.max_block_bytes_of(starts, len(stream))
-    for bb in (0, mbb, (DC.words_per_block(L, mbb) - 2) * 4):
+    for bb in (0, mbb, DC.bucket_block_bytes(L, mbb)):
         got = np.asarray(DC.decode_stream(buf, st, L, bb))
         np.testing.assert_array_equal(got, levels)

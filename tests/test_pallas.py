@@ -164,3 +164,48 @@ def test_fused_plane_gate_falls_back_on_odd_shapes(monkeypatch):
     lv_xla = np.asarray(
         band_ops.make_encode(key, "float32", False)(jnp.asarray(band)))
     np.testing.assert_array_equal(lv_pal, lv_xla)
+
+
+def test_combined_decode_matches_twostep(monkeypatch):
+    """On divisible geometry the decode dual (dezigzag+IDCT+inflate as ONE
+    matmul) must equal the explicit two-step chain bitwise — f32 XLA and
+    the Pallas kernel (interpret) alike, DCT and DFT."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    import jax
+    from jpeg_tpu.config import Configuration
+    from jpeg_tpu.ops import band as band_ops
+    from jpeg_tpu.ops import blocks as B
+    rng = np.random.default_rng(9)
+    cases = [
+        dict(width=128, height=96, block_size=2, dct_size=8,
+             quantization=QuantizationMethod("qtable")),
+        dict(width=96, height=48, block_size=3, dct_size=4,
+             quantization=QuantizationMethod("divide", divisor=40)),
+        dict(width=128, height=64, block_size=2, dct_size=8,
+             transform="DFT", quantization=QuantizationMethod("none")),
+    ]
+    for kw in cases:
+        cfg = Configuration(**kw)
+        key = band_ops.config_key(cfg)
+        d, bs = cfg.dct_size, cfg.block_size
+        band = rng.integers(0, 256, (cfg.height, cfg.width)).astype(np.int32)
+        lv = band_ops.make_encode(key, "float32", False)(jnp.asarray(band))
+
+        # explicit two-step reference: deq -> IDCT -> round/clamp ->
+        # deblockify -> inflate (the pre-combined decode chain)
+        deq = Q.dequantize(lv.astype(jnp.int32), cfg.quantization, d)
+        if cfg.transform == "DCT":
+            pix = T.izigzag_idct2(deq.astype(jnp.float32), d)
+        else:
+            pix = T.izigzag_idft2_real(deq.astype(jnp.float32), d)
+        pix = jnp.clip(jnp.round(pix), 0, 255).astype(jnp.int32)
+        plane = B.deblockify(pix.reshape(
+            cfg.blocks_high, cfg.blocks_wide, d, d))
+        want = np.asarray(B.inflate(plane, bs))
+
+        got_xla = np.asarray(
+            band_ops.make_decode(key, "float32", False)(lv))
+        got_pal = np.asarray(
+            band_ops.make_decode(key, "float32", True)(lv))
+        np.testing.assert_array_equal(got_xla, want, err_msg=str(kw))
+        np.testing.assert_array_equal(got_pal, want, err_msg=str(kw))
