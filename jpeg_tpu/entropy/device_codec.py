@@ -203,11 +203,26 @@ def _decode_stream_pallas(stream_u8, starts, L: int, W: int):
     words = (p[:, 0] << 24) | (p[:, 1] << 16) | (p[:, 2] << 8) | p[:, 3]
     tbl = words.reshape(-1, G)
     s32 = starts.astype(jnp.int32)
+    n = s32.shape[0]
+    # The lockstep kernel pays each tile's LONGEST block: sorting blocks by
+    # stream length makes tiles homogeneous (measured 2.3 -> 1.7 ms for a
+    # 4 MP band, argsort + unpermute row-gather included).  Pointless for a
+    # single tile, where the tile max is the global max either way.
+    order = None
+    if n > PK.DEC_TILE:
+        lens = jnp.diff(s32, append=jnp.int32(nbytes))
+        order = jnp.argsort(lens)
+        s32 = jnp.take(s32, order)
     g0 = s32 // gb
     idx = g0[:, None] + jnp.arange(n_groups, dtype=jnp.int32)[None, :]
-    rows = tbl[idx].reshape(starts.shape[0], n_groups * G)
+    rows = tbl[idx].reshape(n, n_groups * G)
     phase = ((s32 % gb) * 8)[:, None]
-    return PK.decode_stream_rows(rows, phase, L)
+    lv = PK.decode_stream_rows(rows, phase, L)
+    if order is None:
+        return lv
+    inv = jnp.zeros(n, jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return jnp.take(lv, inv, axis=0)
 
 
 def max_block_bytes_of(starts: np.ndarray, total_len: int) -> int:

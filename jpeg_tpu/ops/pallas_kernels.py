@@ -108,7 +108,6 @@ def encode_blocks(blocks_vec, op_t, mul, div, mask, interpret=None):
 
 DEC_TILE = 1024  # block rows per grid step for the bitstream decode kernel
 DEC_UNROLL = 2   # codes decoded per while-loop iteration (overhead amortizer)
-DEC_PAIR = False  # decode 2 codes per ROW-WIDE shift (1 funnel per pair)
 DEC_GROUP = 4    # stream words per gathered row group (G): the HBM gather
                  # feeding the kernel fetches (N, Wg) CONTIGUOUS G-word rows
                  # instead of (N, W) single words — XLA TPU gather cost
@@ -122,37 +121,41 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
                           G: int):
     """Lockstep bitstream decode of one tile of blocks, entirely in VMEM.
 
-    ``words_ref``: (DEC_TILE, W) int32 — per-block stream words (big-endian
-    bytes), gathered as G-word-aligned groups: the block's first code does
-    NOT sit at word 0's top bit but ``phase_ref`` (DEC_TILE, 1) bits in
-    (``phase < 32*G``).  The kernel first discards that phase with a
-    log-depth lane shift + one byte funnel — all VMEM-resident, so the
-    group-aligned HBM gather (cheap) never pays an XLA re-alignment pass.
+    TRANSPOSED layout — blocks live on the LANE axis: ``words_ref`` is
+    (W, DEC_TILE) int32, column t holding block t's stream words
+    (big-endian bytes), gathered as G-word-aligned groups; ``phase_ref``
+    (1, DEC_TILE) is each block's start-bit offset within its column
+    (``phase < 32*G``).  Every per-block scalar (run, size, amp, widx,
+    done, ...) is a (1, T) lane row — at T=1024 that is 8 packed vregs per
+    op, where the previous rows layout made each a (T, 1) sublane column
+    (~128 mostly-empty vregs per op, ~16x more VPU work; measured 3-5 ms
+    vs ~1 ms for a 4 MP band).
 
-    Each iteration then decodes the code at word 0's top bits and
-    funnel-shifts the whole row left by the consumed bit count, so the
-    bitstream flows THROUGH static lane positions: no dynamic indexing
-    anywhere — the HBM gathers/scatters that made the XLA formulations 100x
-    off roofline (126-331 ms for 4 MP) and the cross-lane one-hot
-    reductions of the first kernel attempt (23 ms) are all gone.
+    The kernel first discards the gather phase with a log-depth sublane
+    shift + one byte funnel, then each iteration decodes the code at
+    word-row 0's top bits and funnel-shifts every column up by its
+    consumed bit count, so the bitstream flows THROUGH static positions:
+    no dynamic indexing anywhere — the HBM gathers/scatters that made the
+    XLA formulations 100x off roofline (126-331 ms for 4 MP) are gone.
 
-    All rows advance one code per iteration; a tile exits as soon as every
-    row hit EOB, so sparse content pays its own code count, not the
-    worst-case L + L//15 + 2.
+    All columns advance one code per iteration; a tile exits as soon as
+    every column hit EOB, so sparse content pays its own code count, not
+    the worst-case L + L//15 + 2.
     """
     max_steps = L + L // MAX_RUN + 2
-    cols = jax.lax.broadcasted_iota(jnp.int32, (DEC_TILE, L), 1)
-    zcol = jnp.zeros((DEC_TILE, 1), jnp.uint32)
+    T = DEC_TILE
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0)
+    zrow = jnp.zeros((1, T), jnp.uint32)
 
     def cond(carry):
         step, _words, _phase, _widx, done, _out = carry
         return (step < max_steps) & (jnp.min(done) == 0)
 
     def decode_one(words, phase, widx, done, out):
-        # The row's next 32 bits are ALWAYS word 0: after each code the
-        # whole row funnel-shifts left by the consumed bits (one static
+        # Each column's next 32 bits are ALWAYS word-row 0: after each code
+        # the column funnel-shifts up by the consumed bits (one static
         # slice + two variable shifts — no gathers, no reductions).
-        win = words[:, 0:1]                          # (T, 1) uint32
+        win = words[0:1, :]                          # (1, T) uint32
         run = (win >> 28).astype(jnp.int32)
         size = ((win >> 24) & 0xF).astype(jnp.int32)
         is_eob = (run == 0) & (size == 0)
@@ -178,84 +181,23 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
         done = jnp.where(active & is_eob, 1, done)
         # adv in [8, 30] so both shift amounts are well-defined (< 32).
         sh = adv.astype(jnp.uint32)
-        wnext = jnp.concatenate([words[:, 1:], zcol], axis=1)
+        wnext = jnp.concatenate([words[1:, :], zrow], axis=0)
         words = (words << sh) | (wnext >> (jnp.uint32(32) - sh))
-        return words, phase, widx, done, out
-
-    def peek(words, offset):
-        """The 32 bits starting ``offset`` (T,1) in [8,30] bits into the row
-        — one narrow funnel over word columns 0 and 1, no row-wide work."""
-        w0 = words[:, 0:1]
-        w1 = words[:, 1:2]
-        a = offset.astype(jnp.uint32)
-        return (w0 << a) | ((w1 >> (jnp.uint32(31) - a)) >> 1)
-
-    def parse(win, phase):
-        """Decode the code unit at ``win``'s top bits.  Returns the fields
-        + bits consumed (adv) + next byte phase."""
-        run = (win >> 28).astype(jnp.int32)
-        size = ((win >> 24) & 0xF).astype(jnp.int32)
-        is_eob = (run == 0) & (size == 0)
-        is_chain = (run == MAX_RUN) & (size == 0)
-        is_code = ~is_eob & ~is_chain
-        sign = ((win >> 23) & 1).astype(jnp.int32)
-        nmag = jnp.maximum(size - 1, 0).astype(jnp.uint32)
-        mag = ((win >> (jnp.uint32(23) - nmag))
-               & ((jnp.uint32(1) << nmag) - 1)).astype(jnp.int32)
-        amp = jnp.where(sign == 1, mag, -mag)
-        # 8 bits for EOB/chain (+ pad to the byte boundary after EOB,
-        # derived from the consumed-bits phase), 8+size for codes.
-        adv = jnp.where(is_eob, 8 + ((8 - phase) & 7),
-                        jnp.where(is_chain, 8, 8 + size))
-        return run, amp, is_eob, is_chain, is_code, adv, (phase + adv) & 7
-
-    def apply(run, amp, is_eob, is_chain, is_code, widx, done, out):
-        active = done == 0
-        wt = widx + run
-        store = active & is_code & (wt < L)
-        out = out + jnp.where(store & (cols == wt), amp, 0)
-        widx = jnp.where(active & is_chain, widx + MAX_RUN,
-                         jnp.where(store, wt + 1, widx))
-        done = jnp.where(active & is_eob, 1, done)
-        return widx, done, out
-
-    def decode_pair(words, phase, widx, done, out):
-        """Two codes per ROW-WIDE funnel shift: code 2 is peeked from word
-        columns 0-1 at code 1's bit offset (narrow ops only), then the row
-        shifts once by the pair's total consumed bits (16..46 < 64)."""
-        f1 = parse(words[:, 0:1], phase)
-        run1, amp1, eob1, chain1, code1, adv1, phase = f1
-        widx, done, out = apply(run1, amp1, eob1, chain1, code1,
-                                widx, done, out)
-        f2 = parse(peek(words, adv1), phase)
-        run2, amp2, eob2, chain2, code2, adv2, phase = f2
-        widx, done, out = apply(run2, amp2, eob2, chain2, code2,
-                                widx, done, out)
-        s = adv1 + adv2                         # [16, 46]
-        lane = s >= 32
-        wnext = jnp.concatenate([words[:, 1:], zcol], axis=1)
-        words = jnp.where(lane, wnext, words)
-        wnn = jnp.concatenate([words[:, 1:], zcol], axis=1)
-        b = (s & 31).astype(jnp.uint32)
-        words = (words << b) | ((wnn >> (jnp.uint32(31) - b)) >> 1)
         return words, phase, widx, done, out
 
     def body(carry):
         step, words, phase, widx, done, out = carry
-        if DEC_PAIR:
-            words, phase, widx, done, out = decode_pair(
-                words, phase, widx, done, out)
-            return step + 2, words, phase, widx, done, out
         for _ in range(DEC_UNROLL):
             words, phase, widx, done, out = decode_one(
                 words, phase, widx, done, out)
         return step + DEC_UNROLL, words, phase, widx, done, out
 
     # Alignment prologue: discard the group phase so the first code sits at
-    # word 0's top bit.  Lane shifts are log-depth static slices + selects;
-    # the residual byte shift is one funnel (>> 32 is UB, hence >>31>>1).
+    # word-row 0's top bit.  Word shifts are log-depth static slices +
+    # selects; the residual byte shift is one funnel (>> 32 is UB, hence
+    # >>31>>1).
     words = words_ref[:].astype(jnp.uint32)
-    ph = phase_ref[:]                       # (T, 1) int32, bits, < 32*G
+    ph = phase_ref[:]                       # (1, T) int32, bits, < 32*G
     wsh = ph >> 5                           # whole-word part, [0, G)
     k = 1
     while k < G:
@@ -263,21 +205,21 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
     k >>= 1
     while k >= 1:
         shifted = jnp.concatenate(
-            [words[:, k:], jnp.zeros((DEC_TILE, k), jnp.uint32)], axis=1)
+            [words[k:, :], jnp.zeros((k, T), jnp.uint32)], axis=0)
         take = wsh >= k
         words = jnp.where(take, shifted, words)
         wsh = jnp.where(take, wsh - k, wsh)
         k >>= 1
     b = (ph & 31).astype(jnp.uint32)        # byte part, {0, 8, 16, 24}
-    wnext = jnp.concatenate([words[:, 1:], zcol], axis=1)
+    wnext = jnp.concatenate([words[1:, :], zrow], axis=0)
     words = (words << b) | ((wnext >> (jnp.uint32(31) - b)) >> 1)
 
     init = (jnp.int32(0),
             words,
-            jnp.zeros((DEC_TILE, 1), jnp.int32),
-            jnp.zeros((DEC_TILE, 1), jnp.int32),
-            jnp.zeros((DEC_TILE, 1), jnp.int32),
-            jnp.zeros((DEC_TILE, L), jnp.int32))
+            jnp.zeros((1, T), jnp.int32),
+            jnp.zeros((1, T), jnp.int32),
+            jnp.zeros((1, T), jnp.int32),
+            jnp.zeros((L, T), jnp.int32))
     _, _, _, _, _, out = jax.lax.while_loop(cond, body, init)
     out_ref[:] = out
 
@@ -285,25 +227,38 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
 def decode_stream_rows(word_rows, phase, L: int, group: int = DEC_GROUP,
                        interpret=None):
     """(N, W) int32 group-aligned stream words + (N, 1) bit phases ->
-    (N, L) int32 levels.  ``phase[i] < 32*group`` is the bit offset of block
-    i's first code within its row."""
+    (N, L) int32 levels.  ``phase[i] < 32*group`` is the bit offset of
+    block i's first code within its row.
+
+    The kernel runs transposed (blocks on lanes); the XLA transposes on
+    either side are cheap relayout passes.  Inputs are zero-padded to a
+    whole number of tiles — zero words decode as an immediate EOB, so pad
+    columns never extend a tile's lockstep loop.
+    """
     if interpret is None:
         interpret = _interpret()
     n, W = word_rows.shape
     grid = pl.cdiv(n, DEC_TILE)
+    npad = grid * DEC_TILE
+    if npad != n:
+        word_rows = jnp.concatenate(
+            [word_rows, jnp.zeros((npad - n, W), word_rows.dtype)], axis=0)
+        phase = jnp.concatenate(
+            [phase, jnp.zeros((npad - n, 1), phase.dtype)], axis=0)
     kern = functools.partial(_decode_stream_kernel, L=L, W=W, G=group)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((DEC_TILE, W), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((W, DEC_TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((DEC_TILE, 1), lambda i: (i, 0),
+                  pl.BlockSpec((1, DEC_TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((DEC_TILE, L), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((L, DEC_TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, L), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((L, npad), jnp.int32),
         interpret=interpret,
-    )(word_rows, phase)
+    )(word_rows.T, phase.T)
+    return out.T[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

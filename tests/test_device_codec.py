@@ -227,3 +227,22 @@ def test_pallas_decode_dynamic_width(monkeypatch):
     for bb in (0, mbb, DC.bucket_block_bytes(L, mbb)):
         got = np.asarray(DC.decode_stream(buf, st, L, bb))
         np.testing.assert_array_equal(got, levels)
+
+
+def test_pallas_decode_sorted_tiles(monkeypatch):
+    """The length-sorted tile path (n > DEC_TILE) must return levels in
+    original block order; shrink the tile so 64 blocks span many tiles."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "DEC_TILE", 8)
+    L = 64
+    levels = np.zeros((64, L), dtype=np.int32)
+    # widely varying block lengths to force a nontrivial permutation
+    for i in range(64):
+        k = RNG.integers(0, L)
+        levels[i, :k] = RNG.integers(-50, 50, k)
+    stream = NC.encode_levels(levels)
+    starts = NC.scan_offsets(stream, 64, L)
+    buf = jnp.asarray(np.frombuffer(stream, np.uint8))
+    got = np.asarray(DC.decode_stream(buf, jnp.asarray(starts), L))
+    np.testing.assert_array_equal(got, levels)
