@@ -84,12 +84,219 @@ def _deposit(out, valid, byte0, window, nbytes):
     return out
 
 
+def _unit_groups(levels):
+    """(N, L) int32 levels -> per-slot unit-group tables for the Pallas
+    encode kernel (ops/pallas_kernels.py:_encode_stream_kernel).
+
+    Returns ``(cbits, vhi, vlo, blk_bytes)``: slot s of block i appends
+    ``cbits[i, s]`` bits of value ``(vhi << 32) | vlo`` (MSB of the group at
+    bit cbits-1) — the slot's zeros-chain units (one 0xF0 byte each,
+    reference util.py:146-154) followed by its run|size|sign|magnitude code
+    (8+size bits, sign '1' = positive, util.py:120-123), <= 55 bits total.
+    Slot L is the EOB byte plus the pad to the byte boundary (all zeros).
+    Zero slots inside a run contribute cbits = 0.  All vectorized scans and
+    elementwise ops — no gathers or scatters.
+    """
+    nz, absamp, size, nchains, rrem, group_bits = _geometry(levels)
+    sign = (levels > 0).astype(jnp.int32)
+    code = ((rrem << (4 + size)) | (size << size)
+            | (sign << (size - 1)) | absamp).astype(jnp.uint32)
+    # nchains bytes of 0xF0, right-justified (nchains <= (L-1)//15 <= 4 for
+    # any real L; shift-by-32 is UB so the k = 0 lane is masked, not relied
+    # on to shift to zero)
+    k8 = (8 * nchains).astype(jnp.uint32)
+    pk = jnp.where(
+        nchains > 0,
+        jnp.uint32(0xF0F0F0F0) >> jnp.minimum(jnp.uint32(32) - k8, 31), 0)
+    s = (8 + size).astype(jnp.uint32)            # code bits, 9..23 when nz
+    vlo = (pk << s) | code
+    vhi = pk >> (jnp.uint32(32) - s)
+    cb = group_bits                               # 0 when not nz
+    vlo = jnp.where(nz, vlo, 0)
+    vhi = jnp.where(nz, vhi, 0)
+    sum_bits = jnp.sum(cb, axis=-1)
+    pad = (-(sum_bits + 8)) & 7
+    cb_eob = (8 + pad).astype(jnp.int32)
+    blk_bytes = (sum_bits + 8 + pad) >> 3
+    z = jnp.zeros_like(cb_eob)[:, None]
+    cbits = jnp.concatenate([cb, cb_eob[:, None]], axis=-1)
+    vhi_t = jnp.concatenate([vhi.astype(jnp.int32), z], axis=-1)
+    vlo_t = jnp.concatenate([vlo.astype(jnp.int32), z], axis=-1)
+    return cbits, vhi_t, vlo_t, blk_bytes
+
+
+def encode_rows(levels, interpret=None):
+    """(N, L) int32 levels -> ((N, W) int32 stream-word rows, blk_bytes).
+
+    Row i is block i's byte stream, top-justified big-endian words,
+    zero-padded to the worst-case W; assembled entirely in VMEM by the
+    Mosaic funnel kernel.  The contiguous stream is rows compacted at the
+    blk_bytes boundaries (see :func:`encode_stream`).
+    """
+    from ..ops import pallas_kernels as PK
+    L = levels.shape[-1]
+    # worst-case words, rounded to whole sublanes (8) for clean tiling
+    W = -(-(-(-worst_case_block_bytes(L) // 4)) // 8) * 8
+    cbits, vhi, vlo, blk_bytes = _unit_groups(levels)
+    rows = PK.encode_stream_rows(cbits, vhi, vlo, W, interpret=interpret)
+    return rows, blk_bytes
+
+
+# Compaction parameters: rows merge pairwise MERGE_DEPTH times into units of
+# 2**MERGE_DEPTH blocks (min unit = 2**MERGE_DEPTH bytes, one EOB byte per
+# block), then ONE grouped gather of GATHER_G-word groups builds the
+# contiguous stream.  Correctness needs min unit >= 4*GATHER_G bytes so no
+# output group spans more than two units (the overlap extension covers the
+# second); 2**MERGE_DEPTH >= 4*GATHER_G keeps that true for any content.
+MERGE_DEPTH = 6
+GATHER_G = 16
+
+
+def _shift_rows_right(rows, nbytes, width):
+    """Byte-shift each row right by its own ``nbytes`` within ``width`` words.
+
+    rows: (N, w) int32 big-endian words, zero-padded to ``width``; returns
+    (N, width).  Log-depth word selects + one byte funnel — no gathers.
+    """
+    n, w = rows.shape
+    if w < width:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((n, width - w), rows.dtype)], axis=1)
+    q = (nbytes >> 2)[:, None]
+    k = 1
+    while k < width:
+        rolled = jnp.concatenate(
+            [jnp.zeros((n, k), rows.dtype), rows[:, :-k]], axis=1)
+        # binary decomposition: ascending k must test the BIT, not greedy >=
+        rows = jnp.where((q & k) > 0, rolled, rows)
+        k <<= 1
+    r = ((nbytes & 3) * 8)[:, None].astype(jnp.uint32)
+    u = rows.astype(jnp.uint32)
+    prev = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.uint32), u[:, :-1]], axis=1)
+    # r = 0 identity: << 32 is UB, hence (<< (31-r)) << 1
+    out = (u >> r) | ((prev << (jnp.uint32(31) - r)) << 1)
+    return out.astype(jnp.int32)
+
+
+def _merge_rows(rows, lens, depth):
+    """Pairwise byte-exact concat of (N, W) word rows, ``depth`` rounds.
+
+    Returns (N / 2**depth, W * 2**depth) unit rows and their byte lengths.
+    Each round shifts the odd rows right by the even rows' byte length and
+    ORs — rows are zero-padded past their length, and a shared boundary
+    word has disjoint byte lanes, so OR is exact concatenation.
+    """
+    for _ in range(depth):
+        A, B = rows[0::2], rows[1::2]
+        la, lb = lens[0::2], lens[1::2]
+        w2 = 2 * rows.shape[1]
+        Ap = jnp.concatenate([A, jnp.zeros_like(A)], axis=1)
+        rows = Ap | _shift_rows_right(B, la, w2)
+        lens = la + lb
+    return rows, lens
+
+
+def compact_rows(rows, blk_bytes, L):
+    """(N, W) per-block stream-word rows -> contiguous stream bytes.
+
+    Returns a uint8 buffer of the static worst-case size whose first
+    ``blk_bytes.sum()`` bytes are the concatenated per-block streams —
+    the same contract as :func:`encode_stream`.
+
+    TPU gather cost scales with INDEX COUNT (measured ~7 ns/idx random,
+    far less for the monotonic ids used here), so the design minimizes
+    indices: blocks merge pairwise MERGE_DEPTH times (log-depth funnel
+    shifts, no gathers) into units long enough that one gather of
+    GATHER_G-word output groups — ids nondecreasing, offsets from two
+    small scatters + prefix scans — assembles the stream.
+    """
+    n, W = rows.shape
+    m, G = MERGE_DEPTH, GATHER_G
+    u_blocks = 1 << m
+    gb = 4 * G                                    # bytes per output group
+    worst = n * worst_case_block_bytes(L)
+    n_pad = -(-n // u_blocks) * u_blocks
+    if n_pad != n:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((n_pad - n, W), rows.dtype)], axis=0)
+        blk_bytes = jnp.concatenate(
+            [blk_bytes, jnp.zeros(n_pad - n, blk_bytes.dtype)])
+    units, ulen = _merge_rows(rows, blk_bytes, m)
+    U, Wu = units.shape
+
+    # Overlap extension: append >= 4G bytes of the NEXT unit to each row so
+    # an output group spanning a unit boundary reads valid bytes.  Min unit
+    # = u_blocks >= 4G - 1 bytes, so one successor suffices (an all-pad unit
+    # has length 0, but it can only follow the last real unit, where nothing
+    # past the stream end is read).  ext_w is a multiple of G so rows
+    # reshape into whole G-word groups for the row gather below.
+    head = jnp.concatenate([units[1:, :2 * G],
+                            jnp.zeros((1, 2 * G), units.dtype)], axis=0)
+    ext_w = Wu + 2 * G
+    ext = jnp.concatenate(
+        [units, jnp.zeros((U, 2 * G), units.dtype)], axis=1) | \
+        _shift_rows_right(head, ulen, ext_w)
+
+    # Output-group id/offset tables (all on a small ~worst/4G grid).
+    ustart = jnp.cumsum(ulen) - ulen              # (U,) exclusive, bytes
+    n_grp = -(-worst // gb)
+    first_grp = -(-ustart[1:] // gb)              # unit u live from this grp
+    inc = jnp.zeros(n_grp, jnp.int32).at[first_grp].add(
+        1, mode="drop")
+    ids = jnp.cumsum(inc)                         # (n_grp,) nondecreasing
+    sfill = jnp.zeros(n_grp, jnp.int32).at[first_grp].max(
+        ustart[1:].astype(jnp.int32), mode="drop")
+    su = jax.lax.associative_scan(jnp.maximum, sfill)   # start byte of ids[g]
+
+    gpos = jnp.arange(n_grp, dtype=jnp.int32) * gb
+    o = gpos - su                                 # in-unit byte offset
+    # TPU gather cost ~ index count and is ~20x cheaper for whole-ROW
+    # gathers (tbl[idx]) than for 2-D elementwise indexing (measured 0.5 ms
+    # vs 13 ms at this scale) — so fetch the 2G-word window around each
+    # group as TWO row gathers from the G-word-group-reshaped table, then
+    # discard the in-window byte offset with a log-depth funnel.
+    tblg = ext.reshape(U * (ext_w // G), G)
+    wg = o >> (2 + G.bit_length() - 1)            # group index within unit
+    # Past the stream end su stops advancing, so o grows without bound;
+    # clamp (those groups are masked to zero below — the buffer remainder
+    # must stay zero) to keep gather indices in range.
+    idxA = jnp.minimum(ids * (ext_w // G) + wg, tblg.shape[0] - 2)
+    win = jnp.concatenate([tblg[idxA], tblg[idxA + 1]],
+                          axis=1).astype(jnp.uint32)   # (n_grp, 2G)
+    sh_b = o - (wg << (2 + G.bit_length() - 1))   # bytes into window, < 4G
+    q = (sh_b >> 2)[:, None]
+    k = 1
+    while k < G:
+        rolled = jnp.concatenate(
+            [win[:, k:], jnp.zeros((n_grp, k), jnp.uint32)], axis=1)
+        win = jnp.where((q & k) > 0, rolled, win)
+        k <<= 1
+    r = ((sh_b & 3) * 8)[:, None].astype(jnp.uint32)
+    nxt = win[:, 1:G + 1]
+    out_words = ((win[:, :G] << r) | ((nxt >> (jnp.uint32(31) - r)) >> 1))
+    total = jnp.sum(blk_bytes)
+    out_words = jnp.where(gpos[:, None] < total, out_words, 0)
+
+    flat = out_words.reshape(-1)
+    b = jnp.stack([(flat >> 24) & 0xFF, (flat >> 16) & 0xFF,
+                   (flat >> 8) & 0xFF, flat & 0xFF], axis=1)
+    return b.reshape(-1)[:worst].astype(jnp.uint8)
+
+
 def encode_stream(levels):
     """(N, L) int32 levels -> (bytes_u8[worst_case], blk_bytes (N,) int32).
 
     ``bytes_u8[: blk_bytes.sum()]`` is bit-identical to the host codec's
     output; the remainder is zero.  jit-safe, fully vectorized.
+
+    On TPU (or under JPEG_TPU_PALLAS=interpret) the bitstream is assembled
+    by the Mosaic funnel kernel + grouped-gather compaction; the scatter
+    formulation below is the CPU/no-Pallas fallback (XLA serializes TPU
+    scatters — measured ~370 ms vs a few ms for a 4.2 MP image).  Set
+    JPEG_TPU_ENC_SCATTER=1 to force the scatter path for A/B.
     """
+    import os
     n_blocks, L = levels.shape
     if n_blocks * worst_case_block_bytes(L) * 8 >= _CAP_BITS:
         # Bit positions are int32 (TPU has no int64): ~256 MiB of worst-case
@@ -97,6 +304,10 @@ def encode_stream(levels):
         raise ValueError(
             f"{n_blocks} blocks of L={L} exceed the device encoder's int32 "
             f"bit-position range; use encode_stream_chunks")
+    if _pallas_decode_enabled() and not os.environ.get(
+            "JPEG_TPU_ENC_SCATTER"):
+        rows, blk_bytes = encode_rows(levels)
+        return compact_rows(rows, blk_bytes, L), blk_bytes
     nz, absamp, size, nchains, rrem, group_bits = _geometry(levels)
 
     blk_bits = jnp.sum(group_bits, axis=-1) + 8          # + EOB

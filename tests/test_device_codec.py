@@ -246,3 +246,73 @@ def test_pallas_decode_sorted_tiles(monkeypatch):
     buf = jnp.asarray(np.frombuffer(stream, np.uint8))
     got = np.asarray(DC.decode_stream(buf, jnp.asarray(starts), L))
     np.testing.assert_array_equal(got, levels)
+
+
+@pytest.mark.parametrize("L", [16, 64])
+def test_pallas_encode_kernel_matches_host(L, monkeypatch):
+    """Mosaic bitstream-ENCODE kernel + grouped-gather compaction
+    (interpret mode) == host codec bytes, remainder zero."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)       # keep interpret fast
+    for density in (0.0, 0.08, 0.5, 1.0):
+        levels = np.zeros((37, L), dtype=np.int32)
+        mask = RNG.random(levels.shape) < density
+        levels[mask] = RNG.integers(-16383, 16384, int(mask.sum()))
+        buf, blk_bytes = DC.encode_stream(jnp.asarray(levels))
+        total = int(np.asarray(blk_bytes).sum())
+        buf = np.asarray(buf)
+        assert buf[:total].tobytes() == NC.encode_levels(levels), (
+            f"L={L} density={density}")
+        assert not buf[total:].any()
+
+
+def test_pallas_encode_merge_unit_edges(monkeypatch):
+    """Block counts straddling the 2**MERGE_DEPTH merge-unit size, with
+    max-length blocks adjacent to empty ones so compaction's output groups
+    span unit boundaries."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    L = 64
+    u = 1 << DC.MERGE_DEPTH
+    for n in (1, u - 1, u, u + 1, 2 * u + 2):
+        levels = np.zeros((n, L), dtype=np.int32)
+        levels[0::2, :] = 16383                   # worst-case length blocks
+        levels[1::2, 0] = -1                      # next to near-empty ones
+        buf, blk_bytes = DC.encode_stream(jnp.asarray(levels))
+        total = int(np.asarray(blk_bytes).sum())
+        buf = np.asarray(buf)
+        assert buf[:total].tobytes() == NC.encode_levels(levels), f"n={n}"
+        assert not buf[total:].any()
+
+
+def test_pallas_encode_tile_boundary(monkeypatch):
+    """Grid > 1: blocks spanning several ENC_TILE kernel tiles."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 8)
+    L = 64
+    levels = np.zeros((20, L), dtype=np.int32)
+    for i in range(20):
+        k = int(RNG.integers(0, L))
+        levels[i, :k] = RNG.integers(-50, 50, k)
+    buf, blk_bytes = DC.encode_stream(jnp.asarray(levels))
+    total = int(np.asarray(blk_bytes).sum())
+    assert np.asarray(buf)[:total].tobytes() == NC.encode_levels(levels)
+
+
+def test_pallas_encode_large_L(monkeypatch):
+    """dct_size 24 -> L = 576 vectors (wide W, multi-word groups)."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 8)
+    L = 576
+    levels = np.zeros((5, L), dtype=np.int32)
+    mask = RNG.random(levels.shape) < 0.3
+    levels[mask] = RNG.integers(-16383, 16384, int(mask.sum()))
+    buf, blk_bytes = DC.encode_stream(jnp.asarray(levels))
+    total = int(np.asarray(blk_bytes).sum())
+    buf = np.asarray(buf)
+    assert buf[:total].tobytes() == NC.encode_levels(levels)
+    assert not buf[total:].any()
