@@ -80,36 +80,33 @@ def make_encode(key: Tuple, dtype_name: str,
         mul_v, div_v, mask_v = (np.tile(v, pack)
                                 for v in Q.epilogue_vectors(method, d))
     # Divisible geometry (no edge padding anywhere): the WHOLE f32
-    # coefficient path collapses into one matmul with the combined
-    # subsample+transform+zigzag operator — as a Mosaic kernel when Pallas
-    # is on, as a single XLA dot otherwise (bit-identical: same operator,
-    # same HIGHEST-precision accumulation).  Padded shapes keep the
-    # two-step chain (pixel-domain edge replication does not commute with
-    # mean-pooling at the seam).
+    # coefficient path collapses into one dot_general with the combined
+    # subsample+transform+zigzag operator, contracting the (r, c) axes of
+    # the plane's natural (NV, D, NH, D) view.  XLA fuses the f32 cast and
+    # BOTH relayouts (blockify in, row-major out) into the dot's operand
+    # and result reads — measured 2.8x over the explicit cast -> blockify
+    # -> matmul chain at 4.2 MP (benchmarks/probe_coeff.py), bit-identical
+    # output.  Both the Pallas and XLA variants of this path are this same
+    # dot (the Mosaic kernel cannot see past an XLA-side relayout, so it
+    # has no edge here).  Padded shapes keep the two-step chain
+    # (pixel-domain edge replication does not commute with mean-pooling at
+    # the seam).
     divisible = (h % bs == 0 and w % bs == 0
                  and (h // bs) % d == 0 and (w // bs) % d == 0)
     combined = (transform in ("DCT", "DFT") and divisible
                 and dtype != jnp.float64)
     if combined:
         op2 = T.combined_encode_operator(d, bs, transform)   # (L, D*D)
-        mul_1, div_1, mask_1 = Q.epilogue_vectors(method, d)
-    fused_plane = use_pallas and combined
 
     def f(band):
         if combined:
-            # One XLA relayout (blockify) + one rectangular matmul with the
-            # combined operator — subsample, pad and pack passes all gone.
             D = d * bs
-            blk16 = B.blockify(band.astype(jnp.float32), D)
-            vecs = blk16.reshape(-1, D * D)
-            if fused_plane:
-                return PK.encode_blocks(
-                    vecs, jnp.asarray(op2.T, jnp.float32),
-                    jnp.asarray(mul_1), jnp.asarray(div_1),
-                    jnp.asarray(mask_1))
-            coeffs = jnp.matmul(vecs, jnp.asarray(op2.T, jnp.float32),
-                                precision=T._mm_precision())
-            levels = Q.quantize(coeffs, method, d)
+            op4 = jnp.asarray(op2.T.reshape(D, D, L), jnp.float32)
+            x4 = band.astype(jnp.float32).reshape(h // D, D, w // D, D)
+            coeffs = jax.lax.dot_general(
+                x4, op4, (((1, 3), (0, 1)), ((), ())),
+                precision=T._mm_precision())             # (NV, NH, L)
+            levels = Q.quantize(coeffs.reshape(-1, L), method, d)
             return levels.astype(jnp.int32)
         a = band
         if bs > 1:                      # Padding step skips when block_size==1
