@@ -159,6 +159,35 @@ def main() -> None:
 
     record("fused_enc", marginal(fused_enc, pl_d))
 
+    # Content-sized two-phase encode (production path, api.py:_start_compress):
+    # phase 1 = coeff + stream geometry stats; phase 2 = entropy encode at
+    # the bucketed row width / output cap derived from the actual content.
+    bb_np = np.asarray(jax.jit(DC.block_bytes_of)(lv_d))
+    W = DC.encode_words_bucket(L, int(bb_np.max()))
+    cap = DC.encode_cap_bucket(int(bb_np.sum()),
+                               levels.shape[0] * DC.worst_case_block_bytes(L))
+    print(f"sized buckets: W={W} (full {DC.encode_words_full(L)}) "
+          f"cap={cap}", file=sys.stderr)
+    got_sz = np.asarray(jax.jit(
+        lambda lv: DC.encode_stream_sized(lv, W, cap)[0])(lv_d))
+    assert got_sz[:len(stream)].tobytes() == stream, "sized encode mismatch"
+
+    def enc_phase1(p):
+        lv = jax.vmap(enc)(p).reshape(-1, L)
+        b = DC.block_bytes_of(lv)
+        return p + (dep(lv) + dep(b)).astype(dtp)
+
+    record("enc_phase1", marginal(enc_phase1, pl_d))
+
+    def ent_enc_sized(lv):
+        buf, b = DC.encode_stream_sized(lv, W, cap)
+        return lv + dep(buf) + dep(b)
+
+    record("entropy_enc_sized", marginal(ent_enc_sized, lv_d))
+    p1 = results["enc_phase1"]["ms"]
+    p2 = results["entropy_enc_sized"]["ms"]
+    record("enc_sized_total", (p1 + p2) / 1e3)
+
     def ent_dec(st):
         lv = DC.decode_stream(arr_d, st, L, bucket_bb)
         return st + dep(lv)

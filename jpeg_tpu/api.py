@@ -88,6 +88,59 @@ def _encode3_stream_fn(key, dtype_name: str, use_pallas: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _encode3_levels_stats_fn(key, dtype_name: str, use_pallas: bool):
+    """Phase 1 of the content-sized device encode: coefficient transform +
+    stream geometry, levels kept device-resident.
+
+    Returns (levels (3N, L) int32, stats (5,) int32 = [longest block bytes,
+    total stream bytes, band0 bytes, band1 bytes, max |level|]).  The host
+    pulls only the 20-byte stats vector, buckets the entropy-encode shapes
+    (entropy/device_codec.py:encode_words_bucket / encode_cap_bucket) and
+    dispatches phase 2 (:func:`_entropy_sized_fn`) — the funnel kernel,
+    merges and the compaction gather then all run on content-proportional
+    data instead of the 23-bit/coefficient worst case.
+    """
+    from .entropy import device_codec as DC
+    enc = _band.make_encode(key, dtype_name, use_pallas)
+
+    def f(bands):
+        levels = jax.vmap(enc)(bands)                  # (3, N, L)
+        flat = levels.reshape(-1, levels.shape[-1])
+        bb = DC.block_bytes_of(flat)
+        band_bytes = jnp.sum(bb.reshape(3, -1), axis=-1)
+        stats = jnp.stack([
+            jnp.max(bb), jnp.sum(bb), band_bytes[0], band_bytes[1],
+            jnp.max(jnp.abs(flat))]).astype(jnp.int32)
+        return flat, stats
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _entropy_sized_fn(W: int, cap: int):
+    """Phase 2 of the content-sized device encode: (3N, L) levels ->
+    cap-byte stream buffer at the bucketed row width W."""
+    from .entropy import device_codec as DC
+
+    def f(flat):
+        return DC.encode_stream_sized(flat, W, cap)[0]
+
+    return jax.jit(f)
+
+
+def _sized_entropy_enabled() -> bool:
+    """Content-sized two-phase encode: on for the Pallas row path unless
+    JPEG_TPU_ENC_SIZED=0 (the scatter fallback has no width/cap knobs)."""
+    import os
+    from .entropy import device_codec as DC
+    if os.environ.get("JPEG_TPU_ENC_SIZED", "1") == "0":
+        return False
+    if os.environ.get("JPEG_TPU_ENC_SCATTER"):
+        return False
+    return DC._pallas_decode_enabled()
+
+
+@functools.lru_cache(maxsize=None)
 def _encode3_stream_chunked_fn(key, dtype_name: str, use_pallas: bool,
                                chunk_blocks: int):
     """Device encode for batches past the int32 bit-position ceiling:
@@ -191,6 +244,10 @@ def _start_compress(ycbcr: np.ndarray, config: Configuration, dt, pal):
     n_total = 3 * config.num_blocks
     if _use_device_entropy():
         if n_total <= DC.max_chunk_blocks(L):
+            if _sized_entropy_enabled():
+                fn = _encode3_levels_stats_fn(_band.config_key(config),
+                                              dt.name, pal)
+                return ("dev_sized", L, *fn(planes))
             fn = _encode3_stream_fn(_band.config_key(config), dt.name, pal)
             return ("dev", *fn(planes))
         # Worst-case output exceeds int32 bit positions: the encoder
@@ -214,6 +271,20 @@ def _finish_compress(state, config: Configuration) -> bytes:
     """Block on a :func:`_start_compress` state and pack the container."""
     from .entropy import device_codec as DC
     kind = state[0]
+    if kind == "dev_sized":
+        _, L, flat, stats = state
+        # Blocks on phase 1; the transfer is 20 bytes of stats, the levels
+        # stay device-resident for phase 2.
+        max_bb, total, b0, b1, mx = (int(x) for x in np.asarray(stats))
+        _check_mx(mx)
+        W = DC.encode_words_bucket(L, max_bb)
+        cap = DC.encode_cap_bucket(
+            total, flat.shape[0] * DC.worst_case_block_bytes(L))
+        buf_dev = _entropy_sized_fn(W, cap)(flat)
+        buf = _pull_prefix(buf_dev, total)
+        bb = [b0, b1, total - b0 - b1]
+        bands = [buf[sum(bb[:i]):sum(bb[:i + 1])] for i in range(3)]
+        return container.generate_data(config, CompressedData(*bands))
     if kind == "dev":
         _, stream, band_bytes, mx = state
         _check_mx(mx)

@@ -84,6 +84,19 @@ def _deposit(out, valid, byte0, window, nbytes):
     return out
 
 
+def block_bytes_of(levels):
+    """(N, L) int32 levels -> (N,) int32 stream bytes per block.
+
+    Pure geometry (prefix scans + sums, no kernels) — cheap enough to run in
+    the coefficient-encode program so the host can size the entropy encode
+    (row width + output cap) from the band's ACTUAL content instead of the
+    23-bit/coefficient worst case (see :func:`encode_stream_sized`).
+    """
+    group_bits = _geometry(levels)[-1]
+    blk_bits = jnp.sum(group_bits, axis=-1) + 8           # + EOB
+    return (blk_bits + 7) >> 3
+
+
 def _unit_groups(levels):
     """(N, L) int32 levels -> per-slot unit-group tables for the Pallas
     encode kernel (ops/pallas_kernels.py:_encode_stream_kernel).
@@ -125,18 +138,64 @@ def _unit_groups(levels):
     return cbits, vhi_t, vlo_t, blk_bytes
 
 
-def encode_rows(levels, interpret=None):
+def encode_words_full(L: int) -> int:
+    """Worst-case encode row width in words, whole sublanes (8) for tiling."""
+    return -(-(-(-worst_case_block_bytes(L) // 4)) // 8) * 8
+
+
+def encode_words_bucket(L: int, max_block_bytes: int = 0) -> int:
+    """Row width (words) for the encode kernel, sized by the band's ACTUAL
+    longest block when known.
+
+    The funnel kernel's per-append shift cost and the merge/gather data
+    volume all scale with the row width, so a typical photographic band
+    (longest block ~20-50 bytes vs the 185-byte worst case for L=64) runs
+    the whole entropy encode on 4-6x less data.  Widths are bucketed
+    (multiples of 8 sublanes, ~1.5x steps past 48) to bound the number of
+    compiled programs; 0 means worst case.
+    """
+    full = encode_words_full(L)
+    if max_block_bytes <= 0 or max_block_bytes >= worst_case_block_bytes(L):
+        return full
+    w = -(-max_block_bytes // 4)
+    b = 8
+    while b < full:
+        if w <= b:
+            return b
+        b = b + 8 if b < 48 else -(-(b * 3 // 2) // 8) * 8
+    return full
+
+
+def encode_cap_bucket(total_bytes: int, worst_bytes: int) -> int:
+    """Output-buffer byte cap for :func:`compact_rows`, sized by the band's
+    ACTUAL stream length.
+
+    The compaction gather's index count scales with the cap (one index per
+    GATHER_G-word output group), so sizing it by the real total instead of
+    the worst case cuts the dominant compaction cost by the compression
+    ratio (typically 5-10x).  Caps grow in 1.5x steps from 64 KiB so the
+    number of compiled programs stays logarithmic.
+    """
+    cap = 65536
+    while cap < total_bytes:
+        cap = -(-(cap * 3 // 2) // 4096) * 4096
+    return min(cap, worst_bytes)
+
+
+def encode_rows(levels, interpret=None, W: int = 0):
     """(N, L) int32 levels -> ((N, W) int32 stream-word rows, blk_bytes).
 
     Row i is block i's byte stream, top-justified big-endian words,
-    zero-padded to the worst-case W; assembled entirely in VMEM by the
-    Mosaic funnel kernel.  The contiguous stream is rows compacted at the
-    blk_bytes boundaries (see :func:`encode_stream`).
+    zero-padded to W words (0 = the worst case; callers that know the
+    band's longest block pass :func:`encode_words_bucket` — every block
+    MUST satisfy blk_bytes <= 4*W or its row overflows silently); assembled
+    entirely in VMEM by the Mosaic funnel kernel.  The contiguous stream is
+    rows compacted at the blk_bytes boundaries (see :func:`encode_stream`).
     """
     from ..ops import pallas_kernels as PK
     L = levels.shape[-1]
-    # worst-case words, rounded to whole sublanes (8) for clean tiling
-    W = -(-(-(-worst_case_block_bytes(L) // 4)) // 8) * 8
+    if W <= 0:
+        W = encode_words_full(L)
     cbits, vhi, vlo, blk_bytes = _unit_groups(levels)
     rows = PK.encode_stream_rows(cbits, vhi, vlo, W, interpret=interpret)
     return rows, blk_bytes
@@ -148,8 +207,12 @@ def encode_rows(levels, interpret=None):
 # contiguous stream.  Correctness needs min unit >= 4*GATHER_G bytes so no
 # output group spans more than two units (the overlap extension covers the
 # second); 2**MERGE_DEPTH >= 4*GATHER_G keeps that true for any content.
-MERGE_DEPTH = 6
-GATHER_G = 16
+# Measured on chip (benchmarks/probe_sized.py, 4.2 MP): the XLA merge rounds
+# fuse to near-zero marginal cost while the gather costs ~ per index, so
+# deeper merges + bigger groups win: (9, 128) beats (6, 16) by ~25% both at
+# worst-case and content-sized shapes.
+MERGE_DEPTH = 9
+GATHER_G = 128
 
 
 def _shift_rows_right(rows, nbytes, width):
@@ -197,12 +260,15 @@ def _merge_rows(rows, lens, depth):
     return rows, lens
 
 
-def compact_rows(rows, blk_bytes, L):
+def compact_rows(rows, blk_bytes, L, cap: int = 0):
     """(N, W) per-block stream-word rows -> contiguous stream bytes.
 
-    Returns a uint8 buffer of the static worst-case size whose first
-    ``blk_bytes.sum()`` bytes are the concatenated per-block streams —
-    the same contract as :func:`encode_stream`.
+    Returns a uint8 buffer of ``cap`` bytes (0 = the static worst case)
+    whose first ``blk_bytes.sum()`` bytes are the concatenated per-block
+    streams — the same contract as :func:`encode_stream`.  A nonzero cap
+    MUST be >= the true total (callers size it from device-computed stats,
+    :func:`encode_cap_bucket`); the gather grid scales with it, which is
+    the point — the gather is the dominant compaction cost.
 
     TPU gather cost scales with INDEX COUNT (measured ~7 ns/idx random,
     far less for the monotonic ids used here), so the design minimizes
@@ -213,9 +279,18 @@ def compact_rows(rows, blk_bytes, L):
     """
     n, W = rows.shape
     m, G = MERGE_DEPTH, GATHER_G
+    # Small batches don't amortize deep merges (unit padding to 2**m blocks
+    # would dominate); scale down at trace time keeping the invariant
+    # 2**m >= 4*G and G a power of two.  At the floor (6, 16) this matches
+    # the small-batch-tuned configuration.
+    while m > 6 and (1 << m) > 2 * max(n, 1):
+        m -= 1
+    G = min(G, 1 << (m - 2))
     u_blocks = 1 << m
     gb = 4 * G                                    # bytes per output group
     worst = n * worst_case_block_bytes(L)
+    if cap > 0:
+        worst = min(cap, worst)
     n_pad = -(-n // u_blocks) * u_blocks
     if n_pad != n:
         rows = jnp.concatenate(
@@ -340,6 +415,22 @@ def encode_stream(levels):
     out = _deposit(out, nz, byte0, window, 4)
 
     return out.astype(jnp.uint8), blk_bytes
+
+
+def encode_stream_sized(levels, W: int, cap: int):
+    """(N, L) int32 levels -> (bytes_u8[cap], blk_bytes (N,) int32), with
+    the row width and output buffer sized by the band's ACTUAL content.
+
+    The caller measures ``max(block_bytes_of(levels))`` and its sum in a
+    first device program (one tiny stats pull), buckets them
+    (:func:`encode_words_bucket` / :func:`encode_cap_bucket`) and traces
+    this second program at the sized shapes — typically 4-6x less kernel
+    and merge data and 5-10x fewer gather indices than the worst case.
+    Output bytes are identical to :func:`encode_stream`'s used prefix.
+    Requires the Pallas row path (the scatter fallback has no width knob).
+    """
+    rows, blk_bytes = encode_rows(levels, W=W)
+    return compact_rows(rows, blk_bytes, levels.shape[-1], cap), blk_bytes
 
 
 def _pallas_decode_enabled() -> bool:

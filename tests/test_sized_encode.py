@@ -1,0 +1,175 @@
+"""Content-sized two-phase device encode: bit-identical to the host codec.
+
+The sized path (api.py:_encode3_levels_stats_fn + _entropy_sized_fn,
+entropy/device_codec.py:encode_stream_sized) runs the funnel kernel, merges
+and compaction gather on row widths / output caps derived from the band's
+actual content instead of the 23-bit/coefficient worst case.  Wrong sizing
+corrupts bytes silently, so every test compares against the host codec.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from jpeg_tpu.entropy import device_codec as DC
+from jpeg_tpu.entropy import numpy_codec as NC
+
+RNG = np.random.default_rng(23)
+
+
+def test_width_buckets():
+    full = DC.encode_words_full(64)
+    assert full == 48                            # L=64 worst case = 185 B
+    assert DC.encode_words_bucket(64, 0) == full
+    assert DC.encode_words_bucket(64, 185) == full
+    assert DC.encode_words_bucket(64, 9999) == full
+    assert DC.encode_words_bucket(64, 1) == 8
+    assert DC.encode_words_bucket(64, 32) == 8   # 8 words hold 32 bytes
+    assert DC.encode_words_bucket(64, 33) == 16
+    assert DC.encode_words_bucket(64, 130) == 40
+    prev = 0
+    for bb in range(1, DC.worst_case_block_bytes(64) + 1):
+        W = DC.encode_words_bucket(64, bb)
+        assert W % 8 == 0 and 4 * W >= bb        # tiling + capacity
+        assert W >= prev                         # monotone in max_bb
+        prev = W
+    # large L: geometric growth keeps the bucket count small
+    full576 = DC.encode_words_full(576)
+    widths = {DC.encode_words_bucket(576, bb)
+              for bb in range(1, DC.worst_case_block_bytes(576) + 1, 7)}
+    assert len(widths) <= 12 and max(widths) == full576
+
+
+def test_cap_buckets():
+    worst = 10_000_000
+    assert DC.encode_cap_bucket(0, worst) == 65536
+    assert DC.encode_cap_bucket(1, worst) == 65536
+    caps = set()
+    for total in range(1, 9_000_000, 9973):
+        cap = DC.encode_cap_bucket(total, worst)
+        assert total <= cap <= worst
+        caps.add(cap)
+    assert len(caps) <= 16                       # logarithmic program count
+    assert DC.encode_cap_bucket(20_000_000, worst) == worst
+
+
+def _check_sized(levels, W=None, cap=None):
+    """encode_stream_sized output == host bytes, remainder zero."""
+    levels = np.asarray(levels, np.int32)
+    want = NC.encode_levels(levels)
+    bb = np.asarray(jax.jit(DC.block_bytes_of)(jnp.asarray(levels)))
+    max_bb, total = int(bb.max()), int(bb.sum())
+    assert total == len(want)                    # geometry agrees with host
+    L = levels.shape[-1]
+    if W is None:
+        W = DC.encode_words_bucket(L, max_bb)
+    if cap is None:
+        cap = DC.encode_cap_bucket(
+            total, levels.shape[0] * DC.worst_case_block_bytes(L))
+    buf, _ = jax.jit(
+        lambda lv: DC.encode_stream_sized(lv, W, cap))(jnp.asarray(levels))
+    buf = np.asarray(buf)
+    assert buf.shape[0] == min(
+        cap, levels.shape[0] * DC.worst_case_block_bytes(L))
+    assert buf[:total].tobytes() == want
+    assert not buf[total:].any()
+
+
+@pytest.mark.parametrize("L", [16, 64])
+def test_sized_matches_host(L, monkeypatch):
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    for density in (0.0, 0.08, 0.5, 1.0):
+        levels = np.zeros((37, L), dtype=np.int32)
+        mask = RNG.random(levels.shape) < density
+        levels[mask] = RNG.integers(-16383, 16384, int(mask.sum()))
+        _check_sized(levels)
+
+
+def test_sized_exact_width_and_cap(monkeypatch):
+    """Tightest legal sizes: W exactly ceil(max_bb/4) rounded to 8 and
+    cap == total (no bucket slack anywhere)."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    levels = np.zeros((70, 64), dtype=np.int32)
+    for i in range(70):
+        k = int(RNG.integers(0, 20))
+        levels[i, :k] = RNG.integers(-100, 100, k)
+    bb = np.asarray(DC.block_bytes_of(jnp.asarray(levels)))
+    W = -(-int(bb.max()) // 4 // 8) * 8 or 8
+    _check_sized(levels, W=max(W, 8), cap=int(bb.sum()))
+
+
+def test_sized_worst_case_content(monkeypatch):
+    """Max-amplitude dense blocks: the width bucket must hit the full worst
+    case and still be exact (boundary where sizing buys nothing)."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    levels = np.full((9, 64), 16383, dtype=np.int32)
+    levels[4] = 0                                # empty next to worst-case
+    _check_sized(levels)
+
+
+def test_sized_merge_unit_edges(monkeypatch):
+    """Block counts straddling the 2**MERGE_DEPTH merge-unit size at a
+    narrow width (W=8) — unit padding and the overlap extension must hold
+    at sized shapes too."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    u = 1 << DC.MERGE_DEPTH
+    for n in (1, u - 1, u, u + 1, 2 * u + 2):
+        levels = np.zeros((n, 64), dtype=np.int32)
+        levels[0::2, :7] = 9                     # short blocks
+        levels[1::2, 0] = -1                     # next to 1-byte-code ones
+        _check_sized(levels)
+
+
+def _sized_api_setup(monkeypatch):
+    from jpeg_tpu import api
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(api, "_use_device_entropy", lambda: True)
+    assert api._sized_entropy_enabled()
+    return api
+
+
+def test_api_sized_path_matches_host(monkeypatch):
+    """compress_ycbcr through the two-phase sized path == host-entropy
+    container bytes."""
+    from jpeg_tpu import Configuration, QuantizationMethod, api
+    cfg = Configuration(width=64, height=48, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    img = RNG.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    want = api.compress_ycbcr(img, cfg)          # host-entropy path (CPU)
+    api = _sized_api_setup(monkeypatch)
+    assert api.compress_ycbcr(img, cfg) == want
+
+
+def test_api_sized_pipelined_matches(monkeypatch):
+    """compress_many keeps phase-1 states in flight; results must equal the
+    per-image sized path."""
+    from jpeg_tpu import Configuration, QuantizationMethod, api
+    cfg = Configuration(width=32, height=32, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    imgs = [RNG.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+            for _ in range(3)]
+    want = [api.compress_ycbcr(im, cfg) for im in imgs]
+    api = _sized_api_setup(monkeypatch)
+    assert api.compress_many(imgs, cfg) == want
+
+
+def test_api_sized_rejects_unrepresentable(monkeypatch):
+    """|level| > 16383 must raise from the stats check before phase 2."""
+    from jpeg_tpu import BadRleCodeError, Configuration, QuantizationMethod
+    from jpeg_tpu import api
+    api = _sized_api_setup(monkeypatch)
+    # dct_size 24, no quantization: DC of a bright plane ~200*576 >> 16383
+    # (same construction as test_api_edge.py:test_overrange_amplitude_rejected)
+    cfg = Configuration(width=48, height=48, block_size=1, dct_size=24,
+                        quantization=QuantizationMethod("none"))
+    img = np.full((48, 48, 3), 200, dtype=np.uint8)
+    with pytest.raises(BadRleCodeError):
+        api.compress_ycbcr(img, cfg)
