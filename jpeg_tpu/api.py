@@ -267,20 +267,36 @@ def _check_mx(mx) -> None:
             f"{entropy.MAX_AMP}")
 
 
+def _advance_compress(state, config: Configuration):
+    """Advance a ``dev_sized`` state: pull the 20-byte stats (blocks only on
+    phase 1), bucket the entropy-encode shapes and DISPATCH phase 2 without
+    blocking on it.  :func:`compress_many` calls this one pipeline slot
+    before the finish so the phase-2 program runs while the next image
+    uploads — without it the sized path would serialize two device round
+    trips per image inside :func:`_finish_compress`.  No-op for every other
+    state kind; idempotent."""
+    from .entropy import device_codec as DC
+    if state[0] != "dev_sized":
+        return state
+    _, L, flat, stats = state
+    max_bb, total, b0, b1, mx = (int(x) for x in np.asarray(stats))
+    _check_mx(mx)
+    W = DC.encode_words_bucket(L, max_bb)
+    cap = DC.encode_cap_bucket(
+        total, flat.shape[0] * DC.worst_case_block_bytes(L))
+    buf_dev = _entropy_sized_fn(W, cap)(flat)
+    return ("dev_sized2", buf_dev, total, b0, b1)
+
+
 def _finish_compress(state, config: Configuration) -> bytes:
     """Block on a :func:`_start_compress` state and pack the container."""
     from .entropy import device_codec as DC
     kind = state[0]
     if kind == "dev_sized":
-        _, L, flat, stats = state
-        # Blocks on phase 1; the transfer is 20 bytes of stats, the levels
-        # stay device-resident for phase 2.
-        max_bb, total, b0, b1, mx = (int(x) for x in np.asarray(stats))
-        _check_mx(mx)
-        W = DC.encode_words_bucket(L, max_bb)
-        cap = DC.encode_cap_bucket(
-            total, flat.shape[0] * DC.worst_case_block_bytes(L))
-        buf_dev = _entropy_sized_fn(W, cap)(flat)
+        state = _advance_compress(state, config)
+        kind = state[0]
+    if kind == "dev_sized2":
+        _, buf_dev, total, b0, b1 = state
         buf = _pull_prefix(buf_dev, total)
         bb = [b0, b1, total - b0 - b1]
         bands = [buf[sum(bb[:i]):sum(bb[:i + 1])] for i in range(3)]
@@ -337,6 +353,11 @@ def compress_many(images, config: Configuration, dtype=None,
         if len(states) >= depth:
             out.append(_finish_compress(states.popleft(), config))
         states.append(_start_compress(img, config, dt, pal))
+        if len(states) >= 2:
+            # Advance the previous image (stats pull + phase-2 dispatch for
+            # the sized path) AFTER dispatching this one's upload, so the
+            # 20-byte sync overlaps the new image's transfer + transform.
+            states[-2] = _advance_compress(states[-2], config)
     while states:
         out.append(_finish_compress(states.popleft(), config))
     return out
@@ -378,17 +399,23 @@ def _start_decompress(bytestream: bytes, dtype):
     total = len(data.y) + len(data.cb) + len(data.cr)
     if (device_entropy_default(decode=True)
             and pow2_cap(total) * 8 < 2 ** 31):
+        from .entropy import device_codec as DC
         nb, L = config.num_blocks, config.dct_size ** 2
         streams = [data.y, data.cb, data.cr]
-        starts, off = [], 0
+        starts, off, max_bb = [], 0, 0
         for s in streams:
-            starts.append(entropy.scan_offsets(s, nb, L) + off)
+            sc = entropy.scan_offsets(s, nb, L)
+            starts.append(sc + off)
             off += len(s)
+            max_bb = max(max_bb, DC.max_block_bytes_of(sc, len(s)))
         buf = b"".join(streams)
         pad = pow2_cap(len(buf))
         arr = np.zeros(pad, np.uint8)
         arr[:len(buf)] = np.frombuffer(buf, np.uint8)
-        fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad)
+        # Bucketed longest-block width sizes the decode word-row gather
+        # (same as the serial path, _decompress_device).
+        fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad,
+                                DC.bucket_block_bytes(L, max_bb))
         return fn(arr, np.concatenate(starts))
     nb, L = config.num_blocks, config.dct_size ** 2
     with ThreadPoolExecutor(max_workers=3) as pool:
