@@ -260,6 +260,42 @@ def _merge_rows(rows, lens, depth):
     return rows, lens
 
 
+def _merge_rows_device(rows, lens, depth):
+    """Kernel-path equivalent of :func:`_merge_rows`: all rounds in VMEM.
+
+    The per-round shift amounts are tiny per-segment scalars, so they are
+    precomputed here in XLA and broadcast to word height (``up = 4*h -
+    len(A)`` bytes for each merged pair) — the kernel then needs no
+    dynamic lookups at all (ops/pallas_kernels.py:_merge_rows_kernel).
+    """
+    from ..ops import pallas_kernels as PK
+    n, W = rows.shape
+    u = 1 << depth
+    U = n // u
+    H = u * W
+    l = lens.reshape(U, u)
+    qs = []
+    for d in range(depth):
+        h = W << d
+        la = l[:, 0::2]
+        up = 4 * h - la                              # (U, S_d) bytes
+        qs.append(jnp.broadcast_to(
+            up[:, :, None], (U, up.shape[1], 2 * h)).reshape(U, H // 128,
+                                                             128))
+        l = la + l[:, 1::2]
+    q = jnp.stack(qs, axis=1)                        # (U, depth, H/128, 128)
+    out = PK.merge_rows_units(rows.reshape(U, H // 128, 128), q, W, depth)
+    return out.reshape(U, H), l.reshape(U)
+
+
+def _use_merge_kernel(n, W, depth) -> bool:
+    import os
+    if os.environ.get("JPEG_TPU_MERGE_XLA"):
+        return False
+    return depth >= 1 and ((1 << depth) * W) % 128 == 0 and \
+        _pallas_decode_enabled()
+
+
 def compact_rows(rows, blk_bytes, L, cap: int = 0):
     """(N, W) per-block stream-word rows -> contiguous stream bytes.
 
@@ -297,7 +333,10 @@ def compact_rows(rows, blk_bytes, L, cap: int = 0):
             [rows, jnp.zeros((n_pad - n, W), rows.dtype)], axis=0)
         blk_bytes = jnp.concatenate(
             [blk_bytes, jnp.zeros(n_pad - n, blk_bytes.dtype)])
-    units, ulen = _merge_rows(rows, blk_bytes, m)
+    if _use_merge_kernel(n_pad, W, m):
+        units, ulen = _merge_rows_device(rows, blk_bytes, m)
+    else:
+        units, ulen = _merge_rows(rows, blk_bytes, m)
     U, Wu = units.shape
 
     # Overlap extension: append >= 4G bytes of the NEXT unit to each row so
