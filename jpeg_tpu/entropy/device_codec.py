@@ -192,10 +192,28 @@ def encode_rows(levels, interpret=None, W: int = 0):
     entirely in VMEM by the Mosaic funnel kernel.  The contiguous stream is
     rows compacted at the blk_bytes boundaries (see :func:`encode_stream`).
     """
+    import os
     from ..ops import pallas_kernels as PK
     L = levels.shape[-1]
     if W <= 0:
         W = encode_words_full(L)
+    on_tpu = jax.default_backend() == "tpu"
+    use_lv = on_tpu and (L > 75
+                         or not os.environ.get("JPEG_TPU_ENC_TABLES"))
+    if os.environ.get("JPEG_TPU_ENC_LV"):
+        use_lv = True
+    if use_lv:
+        # Default on real TPU: unit groups computed inside the kernel (no
+        # HBM tables; JPEG_TPU_ENC_TABLES=1 keeps the XLA-tables path for
+        # A/B, except L > 75 which ALWAYS takes the lv kernel there: runs
+        # longer than 74 zeros need more than 4 chain bytes, which the
+        # 64-bit table groups cannot carry — the lv kernel splits them
+        # into extra appends).  Interpret mode (test-only: the production
+        # CPU path is the scatter formulation) defaults to the tables path
+        # — the lv kernel's ~40 interpreted ops per slot are too slow for
+        # the suite — JPEG_TPU_ENC_LV=1 forces it
+        # (tests/test_merge_kernel.py:test_lv_kernel_long_runs).
+        return PK.encode_stream_rows_lv(levels, W, interpret=interpret)
     cbits, vhi, vlo, blk_bytes = _unit_groups(levels)
     rows = PK.encode_stream_rows(cbits, vhi, vlo, W, interpret=interpret)
     return rows, blk_bytes

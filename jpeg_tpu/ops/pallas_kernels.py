@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024  # block rows per grid step; TILE*L*4B << VMEM for any real d
-MAX_RUN = 15  # RLE zeros-chain length (reference util.py:146-154)
+MAX_RUN = 15   # RLE zeros-chain length (reference util.py:146-154)
+MAX_SIZE = 15  # RLE size-field cap (reference util.py:156)
 
 
 def pack_factor(L: int) -> int:
@@ -292,26 +293,40 @@ def _encode_stream_kernel(cb_ref, vhi_ref, vlo_ref, out_ref, *, L: int,
     the profile's data dependence stopped letting it be dead-coded).
     """
     T = ENC_TILE
-    zrow = jnp.zeros((1, T), jnp.uint32)
     words = jnp.zeros((W, T), jnp.uint32)
     total = jnp.zeros((1, T), jnp.int32)
     for s in range(L + 1):
         c = cb_ref[s:s + 1, :]                    # (1, T) int32, <= 55
         total = total + c
-        # shift the column up by c = 32q + r, q in {0, 1}
-        up1 = jnp.concatenate([words[1:], zrow], axis=0)
-        words = jnp.where(c >= 32, up1, words)
-        r = (c & 31).astype(jnp.uint32)
-        wnext = jnp.concatenate([words[1:], zrow], axis=0)
-        # r = 0 must be identity: >> 32 is UB, hence >>(31-r)>>1
-        words = (words << r) | ((wnext >> (jnp.uint32(31) - r)) >> 1)
         hi = vhi_ref[s:s + 1, :].astype(jnp.uint32)
         lo = vlo_ref[s:s + 1, :].astype(jnp.uint32)
-        words = jnp.concatenate(
-            [words[:W - 2], words[W - 2:W - 1] | hi, words[W - 1:] | lo],
-            axis=0)
-    # Top-justify: the stream's first bit sits 32W - B bits from the top
-    # (B = total bits, a multiple of 8 after the EOB pad).
+        words = _append_group(words, c, hi, lo, W)
+    out_ref[:] = _top_justify(words, total, W).astype(jnp.int32)
+
+
+def _append_group(words, c, hi, lo, W: int):
+    """Funnel-append a <= 55-bit group (hi << 32 | lo) of c bits to every
+    bottom-justified (W, T) column: shift up by c = 32q + r (q in {0, 1}),
+    then OR the group into the static tail rows W-2, W-1."""
+    T = words.shape[1]
+    zrow = jnp.zeros((1, T), jnp.uint32)
+    up1 = jnp.concatenate([words[1:], zrow], axis=0)
+    words = jnp.where(c >= 32, up1, words)
+    r = (c & 31).astype(jnp.uint32)
+    wnext = jnp.concatenate([words[1:], zrow], axis=0)
+    # r = 0 must be identity: >> 32 is UB, hence >>(31-r)>>1
+    words = (words << r) | ((wnext >> (jnp.uint32(31) - r)) >> 1)
+    return jnp.concatenate(
+        [words[:W - 2], words[W - 2:W - 1] | hi, words[W - 1:] | lo],
+        axis=0)
+
+
+def _top_justify(words, total, W: int):
+    """Shift every bottom-justified column so the stream's first bit lands
+    at word 0 bit 31: the first bit sits 32W - total bits from the top
+    (total is a multiple of 8 after the EOB pad)."""
+    T = words.shape[1]
+    zrow = jnp.zeros((1, T), jnp.uint32)
     sh = jnp.int32(32 * W) - total
     wq = sh >> 5            # whole words; <= W-1 (every stream is >= 1 byte)
     k = 1
@@ -329,8 +344,112 @@ def _encode_stream_kernel(cb_ref, vhi_ref, vlo_ref, out_ref, *, L: int,
         k >>= 1
     wr = (sh & 31).astype(jnp.uint32)             # byte multiple, < 32
     wnext = jnp.concatenate([words[1:], zrow], axis=0)
-    words = (words << wr) | ((wnext >> (jnp.uint32(31) - wr)) >> 1)
-    out_ref[:] = words.astype(jnp.int32)
+    return (words << wr) | ((wnext >> (jnp.uint32(31) - wr)) >> 1)
+
+
+def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int):
+    """Bitstream encode straight from LEVELS — the unit-group tables
+    (entropy/device_codec.py:_unit_groups) are computed in-register per
+    slot instead of being materialized in HBM (3 tables x (N, L+1) int32,
+    ~3x the levels themselves; measured 0.28 ms of XLA + ~25 MB of traffic
+    at 4.2 MP).
+
+    Same transposed layout and append/top-justify structure as
+    :func:`_encode_stream_kernel`; the run-length state (index of the
+    previous nonzero, reference util.py:146-154) is a (1, T) register
+    carried across the static slot loop.  Emits the per-block byte count
+    as a second output (bit-identical to _unit_groups' blk_bytes).
+    """
+    T = ENC_TILE
+    z = jnp.zeros((1, T), jnp.uint32)
+    words = jnp.zeros((W, T), jnp.uint32)
+    total = jnp.zeros((1, T), jnp.int32)
+    prev = jnp.full((1, T), -1, jnp.int32)
+    # A slot's group is <= 55 bits only while its chain count <= 4 (8*4 + 8
+    # + 15 = 55).  Runs longer than 74 zeros (possible when L > 75) carry
+    # the excess chains in static extra <= 4-byte appends BEFORE the main
+    # group — all chain bytes are identical 0xF0, so only the count and the
+    # chains-before-code order matter (reference util.py:146-154).  For
+    # L <= 75 this is zero extra work.
+    n_sub = max(0, -(-((L - 1) // MAX_RUN - 4) // 4)) if L > 75 else 0
+    for s in range(L):
+        lv = lv_ref[s:s + 1, :]                   # (1, T) int32
+        nz = lv != 0
+        absamp = jnp.abs(lv)
+        # size = min(bit_length + 1, 15): bit_length(a>=1) = 1 + #{k>=1:
+        # a >= 2**k}; 13 compares cover every representable amplitude and
+        # the clamp falls out (2 + 13 = 15).
+        cnt = jnp.zeros((1, T), jnp.int32)
+        for k in range(1, MAX_SIZE - 1):
+            cnt = cnt + (absamp >= (1 << k)).astype(jnp.int32)
+        size = cnt + 2
+        run = s - prev - 1
+        # run // 15 as an exact magic multiply (2185 = ceil(2**15/15),
+        # exact for run < 4681 >> any L)
+        nchains = (run * 2185) >> 15
+        rrem = run - nchains * MAX_RUN
+        for j in range(n_sub):
+            over = jnp.clip(nchains - 4 - 4 * j, 0, 4)
+            k8o = (8 * over).astype(jnp.uint32)
+            pko = jnp.where(
+                over > 0,
+                jnp.uint32(0xF0F0F0F0)
+                >> jnp.minimum(jnp.uint32(32) - k8o, 31), 0)
+            co = jnp.where(nz, 8 * over, 0)
+            total = total + co
+            words = _append_group(words, co, z, jnp.where(nz, pko, 0), W)
+        nch = jnp.minimum(nchains, 4) if n_sub else nchains
+        sign = (lv > 0).astype(jnp.int32)
+        code = ((rrem << (4 + size)) | (size << size)
+                | (sign << (size - 1)) | absamp).astype(jnp.uint32)
+        # nch bytes of 0xF0, right-justified (same masked-shift form as
+        # _unit_groups: the k8 = 0 lane is masked, not shifted by 32)
+        k8 = (8 * nch).astype(jnp.uint32)
+        pk = jnp.where(
+            nch > 0,
+            jnp.uint32(0xF0F0F0F0) >> jnp.minimum(jnp.uint32(32) - k8, 31),
+            0)
+        sb = (8 + size).astype(jnp.uint32)        # code bits, 9..23 when nz
+        lo = jnp.where(nz, (pk << sb) | code, 0)
+        hi = jnp.where(nz, pk >> (jnp.uint32(32) - sb), 0)
+        c = jnp.where(nz, 8 * nch + 8 + size, 0)
+        prev = jnp.where(nz, s, prev)
+        total = total + c
+        words = _append_group(words, c, hi, lo, W)
+    pad = (-(total + 8)) & 7
+    c_eob = 8 + pad
+    total = total + c_eob
+    words = _append_group(words, c_eob, z, z, W)
+    out_ref[:] = _top_justify(words, total, W).astype(jnp.int32)
+    bb_ref[:] = total >> 3
+
+
+def encode_stream_rows_lv(levels, W: int, interpret=None):
+    """(N, L) int32 levels -> ((N, W) int32 stream-word rows, (N,) int32
+    block bytes), unit groups computed inside the kernel."""
+    if interpret is None:
+        interpret = _interpret()
+    n, L = levels.shape
+    grid = pl.cdiv(n, ENC_TILE)
+    npad = grid * ENC_TILE
+    if npad != n:
+        levels = jnp.concatenate(
+            [levels, jnp.zeros((npad - n, L), jnp.int32)], axis=0)
+    kern = functools.partial(_encode_stream_lv_kernel, L=L, W=W)
+    rows, bb = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((L, ENC_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((W, ENC_TILE), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, ENC_TILE), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((W, npad), jnp.int32),
+                   jax.ShapeDtypeStruct((1, npad), jnp.int32)],
+        interpret=interpret,
+    )(levels.T)
+    return rows.T[:n], bb[0, :n]
 
 
 def encode_stream_rows(cbits, vhi, vlo, W: int, interpret=None):

@@ -61,6 +61,51 @@ def test_merge_kernel_multi_unit_and_edges(monkeypatch):
     _check(rows, lens, m)
 
 
+def test_lv_kernel_long_runs(monkeypatch):
+    """Zero-runs longer than 74 need > 4 chain bytes — more than a 55-bit
+    funnel group carries.  The lv kernel splits them into static extra
+    chunk appends (ops/pallas_kernels.py:_encode_stream_lv_kernel); the
+    pre-fix kernel paths corrupted such streams silently (any dct_size
+    >= 10 band with smooth content)."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("JPEG_TPU_ENC_LV", "1")
+    monkeypatch.setattr(PK, "ENC_TILE", 16)
+    L = 144                                    # 9 chains max: 4 + 4 + 1
+    lv = np.zeros((8, L), np.int32)
+    lv[1, L - 1] = 5                           # maximal 143-zero run
+    lv[2, 0] = -3                              # all-trailing-zero block
+    lv[3, 75] = 7
+    lv[3, L - 1] = -9                          # two long runs in one block
+    lv[4, 60] = 1                              # exactly 4 chains (no chunk)
+    lv[5, 76] = 2                              # 5 chains (1-byte chunk)
+    want = NC.encode_levels(lv)
+    buf, bb = jax.jit(DC.encode_stream)(jnp.asarray(lv))
+    buf, total = np.asarray(buf), int(np.asarray(bb).sum())
+    assert buf[:total].tobytes() == want and not buf[total:].any()
+
+
+def test_lv_kernel_matches_tables_path(monkeypatch):
+    """For L <= 75 the in-kernel unit groups must reproduce the XLA-tables
+    path bit for bit (rows AND block bytes)."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    for L, density in [(16, 0.3), (64, 0.0), (64, 0.15), (64, 1.0)]:
+        lv = np.zeros((70, L), np.int32)
+        mask = RNG.random(lv.shape) < density
+        lv[mask] = RNG.integers(-16383, 16384, int(mask.sum()))
+        W = DC.encode_words_full(L)
+        r1, b1 = jax.jit(
+            lambda x, W=W: PK.encode_stream_rows_lv(x, W))(jnp.asarray(lv))
+        cb, vh, vl, b0 = jax.jit(DC._unit_groups)(jnp.asarray(lv))
+        r0 = jax.jit(
+            lambda a, b, c, W=W: PK.encode_stream_rows(a, b, c, W))(
+                cb, vh, vl)
+        assert np.array_equal(np.asarray(b1), np.asarray(b0))
+        assert np.array_equal(np.asarray(r1), np.asarray(r0))
+
+
 def test_merge_kernel_in_encode_stream(monkeypatch):
     """encode_stream routes through the kernel merge on the Pallas path;
     bytes must equal the host codec."""
