@@ -191,29 +191,6 @@ def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
     return jax.jit(f)
 
 
-def _decompress_device(config: Configuration, data: CompressedData, dt, pal):
-    from .entropy import device_codec as DC
-    nb, L = config.num_blocks, config.dct_size ** 2
-    streams = [data.y, data.cb, data.cr]
-    starts, off, max_bb = [], 0, 0
-    for s in streams:
-        sc = entropy.scan_offsets(s, nb, L)
-        starts.append(sc + off)
-        off += len(s)
-        max_bb = max(max_bb, DC.max_block_bytes_of(sc, len(s)))
-    from .utils.device import pow2_cap
-    buf = b"".join(streams)
-    pad = pow2_cap(len(buf))
-    arr = np.zeros(pad, np.uint8)
-    arr[:len(buf)] = np.frombuffer(buf, np.uint8)
-    # Bucketed so the executable count stays small (bucket_block_bytes
-    # is the fixed point of the width bucketing).
-    bucket_bb = DC.bucket_block_bytes(L, max_bb)
-    fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad,
-                            bucket_bb)
-    return np.asarray(fn(arr, np.concatenate(starts)))
-
-
 def _dt_and_pallas(config: Configuration, dtype):
     dt = np.dtype(dtype if dtype is not None else _band.default_dtype())
     pal = dt == np.float32 and _band.use_pallas_default(config.transform)
@@ -364,30 +341,15 @@ def compress_many(images, config: Configuration, dtype=None,
 
 
 def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
-    """Container bytes -> (H, W, 3) uint8 YCbCr image."""
-    config, data = container.read_data(bytestream)
-    dt, pal = _dt_and_pallas(config, dtype)
-    # Device-side bit parsing (default on TPU): the host does only the
-    # O(bytes) C++ boundary scan and uploads the compressed stream itself —
-    # h2d shrinks from the coefficient levels to the compressed bytes.
-    # JPEG_TPU_DEVICE_DECODE=0 falls back to host entropy decode.
-    from .utils.device import device_entropy_default, pow2_cap
-    total = len(data.y) + len(data.cb) + len(data.cr)
-    if (device_entropy_default(decode=True)
-            and pow2_cap(total) * 8 < 2 ** 31):
-        # entropy.scan_offsets falls back to the pure-Python scanner when the
-        # C++ codec is unavailable, so device bit parsing needs no compiler.
-        return _decompress_device(config, data, dt, pal).transpose(1, 2, 0)
-    nb, L = config.num_blocks, config.dct_size ** 2
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        levels = list(pool.map(
-            lambda s: entropy.decode_levels(s, nb, L),
-            (data.y, data.cb, data.cr)))
-    fn = _decode3_fn(_band.config_key(config), dt.name, pal)
-    # Decoded amplitudes always fit int16 (size <= 15 enforced by the
-    # entropy decoder), so upload the narrow form.
-    planes = np.asarray(fn(np.stack(levels).astype(np.int16)))
-    return planes.transpose(1, 2, 0)
+    """Container bytes -> (H, W, 3) uint8 YCbCr image.
+
+    Device-side bit parsing is the default on TPU: the host does only the
+    O(bytes) boundary scan (C++, or the pure-Python scanner when no
+    compiler is present) and uploads the compressed stream itself — h2d
+    shrinks from the coefficient levels to the compressed bytes.
+    JPEG_TPU_DEVICE_DECODE=0 falls back to host entropy decode.
+    """
+    return np.asarray(_start_decompress(bytestream, dtype)).transpose(1, 2, 0)
 
 
 def _start_decompress(bytestream: bytes, dtype):
