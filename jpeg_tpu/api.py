@@ -129,15 +129,8 @@ def _entropy_sized_fn(W: int, cap: int):
 
 
 def _sized_entropy_enabled() -> bool:
-    """Content-sized two-phase encode: on for the Pallas row path unless
-    JPEG_TPU_ENC_SIZED=0 (the scatter fallback has no width/cap knobs)."""
-    import os
     from .entropy import device_codec as DC
-    if os.environ.get("JPEG_TPU_ENC_SIZED", "1") == "0":
-        return False
-    if os.environ.get("JPEG_TPU_ENC_SCATTER"):
-        return False
-    return DC._pallas_decode_enabled()
+    return DC.sized_entropy_default()
 
 
 @functools.lru_cache(maxsize=None)

@@ -499,6 +499,17 @@ def _pallas_decode_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def sized_entropy_default() -> bool:
+    """Content-sized two-phase encode: on for the Pallas row path unless
+    JPEG_TPU_ENC_SIZED=0 (the scatter fallback has no width/cap knobs)."""
+    import os
+    if os.environ.get("JPEG_TPU_ENC_SIZED", "1") == "0":
+        return False
+    if os.environ.get("JPEG_TPU_ENC_SCATTER"):
+        return False
+    return _pallas_decode_enabled()
+
+
 # Group-alignment slack words in every decode row: the grouped gather hands
 # the kernel rows that start at a 4*G-byte boundary at or before the block's
 # first byte, so up to 4*G-1 bytes of the row precede the block.  Must equal

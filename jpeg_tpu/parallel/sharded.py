@@ -313,6 +313,47 @@ def _batch_stream_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
     return fn
 
 
+def _batch_levels_stats_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
+                           use_pallas: bool = False):
+    """Phase 1 of the content-sized batch encode: (B, H, W) bands ->
+    (flat levels (B*N, L) int32, stats).
+
+    stats = [band bytes (B,) ..., max block bytes, total bytes, max |level|]
+    — the only host transfer before phase 2; the levels stay device-
+    resident with their sharding (same two-phase structure as the
+    single-image path, api.py:_encode3_levels_stats_fn)."""
+    cache_key = ("levels_stats", key, dtype_name, mesh, shape, use_pallas)
+    fn = _BATCH_FNS.get(cache_key)
+    if fn is None:
+        from ..entropy import device_codec as DC
+        encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
+
+        def step(bands):
+            levels = jax.vmap(encode_one)(bands)          # (B, N, L)
+            flat = levels.reshape(-1, levels.shape[-1])
+            bb = DC.block_bytes_of(flat)
+            band_bytes = jnp.sum(bb.reshape(bands.shape[0], -1), axis=-1)
+            tail = jnp.stack([jnp.max(bb), jnp.sum(bb),
+                              jnp.max(jnp.abs(flat))]).astype(jnp.int32)
+            return flat, jnp.concatenate([band_bytes, tail])
+
+        fn = jax.jit(step, in_shardings=mesh_lib.batch_sharding(mesh, shape))
+        _BATCH_FNS[cache_key] = fn
+    return fn
+
+
+def _batch_entropy_sized_fn(W: int, cap: int, mesh):
+    """Phase 2: (B*N, L) sharded levels -> cap-byte stream buffer at the
+    bucketed row width W (mesh keys the cache alongside the buckets)."""
+    cache_key = ("entropy_sized", W, cap, mesh)
+    fn = _BATCH_FNS.get(cache_key)
+    if fn is None:
+        from ..entropy import device_codec as DC
+        fn = jax.jit(lambda flat: DC.encode_stream_sized(flat, W, cap)[0])
+        _BATCH_FNS[cache_key] = fn
+    return fn
+
+
 def _batch_stream_chunked_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
                              use_pallas: bool, chunk_blocks: int):
     """Jitted (B, H, W) -> (chunk bufs, per-block bytes, band bytes, max)
@@ -365,8 +406,35 @@ def compress_batch(images, config: Configuration, mesh,
         from ..entropy import device_codec as DC
         dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
         pal = _mesh_pallas(mesh, dt, config.transform)
+        L = config.dct_size ** 2
         n_total = b * 3 * config.num_blocks
-        m = DC.max_chunk_blocks(config.dct_size ** 2)
+        m = DC.max_chunk_blocks(L)
+        if n_total <= m and DC.sized_entropy_default():
+            # Content-sized two-phase encode: the host pulls only the stats
+            # vector, buckets the entropy shapes and dispatches phase 2 on
+            # the device-resident levels.
+            fn = _batch_levels_stats_fn(band_ops.config_key(config), dt.name,
+                                        mesh, tuple(bands.shape), pal)
+            flat, stats = fn(jnp.asarray(bands))
+            st = np.asarray(stats)
+            bb = st[:3 * b].astype(np.int64)
+            max_bb, total, mx = (int(x) for x in st[3 * b:])
+            if mx > MAX_AMP:
+                raise BadRleCodeError(
+                    f"amplitude {mx} exceeds the representable {MAX_AMP}")
+            Wb = DC.encode_words_bucket(L, max_bb)
+            cap = DC.encode_cap_bucket(
+                total, n_total * DC.worst_case_block_bytes(L))
+            buf = pull_prefix(_batch_entropy_sized_fn(Wb, cap, mesh)(flat),
+                              total)
+            offs = np.concatenate([[0], np.cumsum(bb)]).astype(np.int64)
+            streams = [buf[offs[i]:offs[i + 1]] for i in range(3 * b)]
+            out = []
+            for i in range(b):
+                data = CompressedData(streams[3 * i], streams[3 * i + 1],
+                                      streams[3 * i + 2])
+                out.append(container.generate_data(config, data))
+            return out
         if n_total <= m:
             fn = _batch_stream_fn(band_ops.config_key(config), dt.name, mesh,
                                   tuple(bands.shape), pal)

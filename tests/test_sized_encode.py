@@ -161,6 +161,22 @@ def test_api_sized_pipelined_matches(monkeypatch):
     assert api.compress_many(imgs, cfg) == want
 
 
+def test_batch_sized_matches_host(monkeypatch):
+    """parallel.compress_batch through the sized two-phase path (virtual
+    mesh, device entropy forced) == per-image host-entropy containers."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    from jpeg_tpu import Configuration, QuantizationMethod, api, parallel
+    assert DC.sized_entropy_default()
+    mesh = parallel.make_mesh()
+    cfg = Configuration(width=32, height=32, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    imgs = np.stack([RNG.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+                     for _ in range(4)])
+    want = [api.compress_ycbcr(im, cfg) for im in imgs]
+    got = parallel.compress_batch(imgs, cfg, mesh, device_entropy=True)
+    assert got == want
+
+
 def test_api_sized_rejects_unrepresentable(monkeypatch):
     """|level| > 16383 must raise from the stats check before phase 2."""
     from jpeg_tpu import BadRleCodeError, Configuration, QuantizationMethod
