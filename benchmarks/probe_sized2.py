@@ -101,11 +101,21 @@ def main() -> None:
         return cb + dep(rows)
     tm("funnel_kernel", marginal(kernel, cb0))
 
-    # (c) rows = tables + kernel
-    def rows_full(lv):
-        rows, b = DC.encode_rows(lv, W=W)
+    # (c) rows two ways: XLA tables + kernel, vs in-kernel unit groups
+    def rows_tables(lv):
+        cb, vh, vl, b = DC._unit_groups(lv)
+        rows = PK.encode_stream_rows(cb, vh, vl, W)
         return lv + dep(rows) + dep(b)
-    tm("rows(total)", marginal(rows_full, lv_d))
+    tm("rows(tables)", marginal(rows_tables, lv_d))
+
+    def rows_lv(lv):
+        rows, b = PK.encode_stream_rows_lv(lv, W)
+        return lv + dep(rows) + dep(b)
+    got_r, got_b = jax.jit(lambda lv: PK.encode_stream_rows_lv(lv, W))(lv_d)
+    want_r = jax.jit(lambda lv: PK.encode_stream_rows(
+        *DC._unit_groups(lv)[:3], W))(lv_d)
+    assert np.array_equal(np.asarray(got_r), np.asarray(want_r))
+    tm("rows(lv)", marginal(rows_lv, lv_d))
 
     # (d) compaction alone, rows precomputed
     rows0, bb0 = jax.jit(lambda lv: DC.encode_rows(lv, W=W))(lv_d)
@@ -139,14 +149,21 @@ def main() -> None:
         return r + dep(units) + dep(ulen)
     tm("merge_kernel", marginal(merge_k, rows_p))
 
-    # (e) full sized encode
-    def full(lv):
-        buf, b = DC.encode_stream_sized(lv, W, cap)
-        return lv + dep(buf) + dep(b)
-    got = np.asarray(jax.jit(
-        lambda lv: DC.encode_stream_sized(lv, W, cap)[0])(lv_d))
-    assert got[:total].tobytes() == want and not got[total:].any()
-    tm("full_sized", marginal(full, lv_d))
+    # (e) full sized encode, sweeping merge depth x gather group (the
+    # kernel merge made deeper merges nearly free; bigger groups cut the
+    # gather index count further)
+    for mm, GG in [(9, 128), (10, 256), (11, 512)]:
+        DC.MERGE_DEPTH, DC.GATHER_G = mm, GG
+
+        def full(lv):
+            buf, b = DC.encode_stream_sized(lv, W, cap)
+            return lv + dep(buf) + dep(b)
+        got = np.asarray(jax.jit(
+            lambda lv: DC.encode_stream_sized(lv, W, cap)[0])(lv_d))
+        ok = got[:total].tobytes() == want and not got[total:].any()
+        tm(f"full_sized m={mm} G={GG} {'ok' if ok else 'MISMATCH'}",
+           marginal(full, lv_d))
+    DC.MERGE_DEPTH, DC.GATHER_G = 9, 128
 
 
 if __name__ == "__main__":
