@@ -61,6 +61,44 @@ def test_merge_kernel_multi_unit_and_edges(monkeypatch):
     _check(rows, lens, m)
 
 
+def test_merge_kernel_fuzz(monkeypatch):
+    """Randomized + adversarial length patterns across (W, depth, units):
+    the in-session 36-draw campaign ran clean; these 8 committed draws keep
+    the suite fast while pinning each pattern family."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    rng = np.random.default_rng(42)
+    cases = [(8, 6, 2, "rand"), (16, 7, 1, "min"), (16, 8, 1, "max"),
+             (24, 6, 3, "alt"), (32, 7, 1, "padzeros"), (40, 6, 1, "tiny"),
+             (48, 6, 2, "rand"), (16, 9, 1, "alt")]
+    for W, m, nu, mode in cases:
+        if ((1 << m) * W) % 128:
+            continue
+        n = nu << m
+        if mode == "rand":
+            lens = rng.integers(1, 4 * W + 1, n)
+        elif mode == "min":
+            lens = np.full(n, 1)
+        elif mode == "max":
+            lens = np.full(n, 4 * W)
+        elif mode == "alt":
+            lens = np.where(np.arange(n) % 2, 1, 4 * W)
+        elif mode == "padzeros":
+            lens = rng.integers(1, 4 * W + 1, n)
+            lens[rng.random(n) < 0.5] = 0
+        else:
+            lens = rng.integers(1, 5, n)
+        lens = lens.astype(np.int32)
+        rows, _ = _random_rows(n, W, fill=None)
+        # impose the case's length pattern on the random rows
+        b = np.zeros((n, 4 * W), np.uint32)
+        mask = np.arange(4 * W)[None, :] < lens[:, None]
+        b[mask] = rng.integers(1, 256, int(mask.sum()))
+        sh = (24 - 8 * (np.arange(4 * W) % 4)).astype(np.uint32)
+        rows = np.bitwise_or.reduce(
+            (b << sh).reshape(n, W, 4), axis=2).astype(np.int32)
+        _check(rows, lens, m)
+
+
 def test_lv_kernel_long_runs(monkeypatch):
     """Zero-runs longer than 74 need > 4 chain bytes — more than a 55-bit
     funnel group carries.  The lv kernel splits them into static extra
