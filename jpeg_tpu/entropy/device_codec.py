@@ -200,7 +200,8 @@ def encode_rows(levels, interpret=None, W: int = 0):
     on_tpu = jax.default_backend() == "tpu"
     use_lv = on_tpu and (L > 75
                          or not os.environ.get("JPEG_TPU_ENC_TABLES"))
-    if os.environ.get("JPEG_TPU_ENC_LV"):
+    if os.environ.get("JPEG_TPU_ENC_LV") and not os.environ.get(
+            "JPEG_TPU_ENC_TABLES"):
         use_lv = True
     if use_lv:
         # Default on real TPU: unit groups computed inside the kernel (no
@@ -436,7 +437,16 @@ def encode_stream(levels):
         raise ValueError(
             f"{n_blocks} blocks of L={L} exceed the device encoder's int32 "
             f"bit-position range; use encode_stream_chunks")
-    if _pallas_decode_enabled() and not os.environ.get(
+    # L > 75 allows zero-runs whose chain bytes overflow the 55-bit funnel
+    # group; only the lv kernel splits them (encode_rows routes there on
+    # TPU).  In interpret mode that kernel is impractically slow to trace
+    # at large L, so CPU/interpret L > 75 takes the scatter formulation —
+    # always correct for any run length — unless a kernel path is forced
+    # explicitly (JPEG_TPU_ENC_LV / ENC_TABLES, A/B and tests only).
+    big_l_ok = (L <= 75 or jax.default_backend() == "tpu"
+                or os.environ.get("JPEG_TPU_ENC_LV")
+                or os.environ.get("JPEG_TPU_ENC_TABLES"))
+    if _pallas_decode_enabled() and big_l_ok and not os.environ.get(
             "JPEG_TPU_ENC_SCATTER"):
         rows, blk_bytes = encode_rows(levels)
         return compact_rows(rows, blk_bytes, L), blk_bytes

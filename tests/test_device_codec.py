@@ -303,9 +303,15 @@ def test_pallas_encode_tile_boundary(monkeypatch):
 
 
 def test_pallas_encode_large_L(monkeypatch):
-    """dct_size 24 -> L = 576 vectors (wide W, multi-word groups)."""
+    """dct_size 24 -> L = 576 vectors (wide W, multi-word groups).
+
+    Forces the tables kernel: interpret-mode L > 75 defaults to the
+    scatter formulation (the lv kernel is impractically slow to trace
+    interpreted at this L, and the tables path cannot carry > 4 chain
+    bytes — this content has no such runs)."""
     from jpeg_tpu.ops import pallas_kernels as PK
     monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("JPEG_TPU_ENC_TABLES", "1")
     monkeypatch.setattr(PK, "ENC_TILE", 8)
     L = 576
     levels = np.zeros((5, L), dtype=np.int32)
