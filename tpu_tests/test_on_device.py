@@ -157,3 +157,56 @@ def test_decompress_plane_on_chip(img):
     stream = api.compress_band(plane, cfg)
     got = parallel.decompress_plane(stream, cfg, mesh, device_entropy=True)
     np.testing.assert_array_equal(got, np.asarray(api.decompress_band(stream, cfg)))
+
+
+def test_long_run_encode_on_chip():
+    """Compiled lv kernel with zero-runs past the 55-bit group limit
+    (L = 144: up to 9 chain bytes, split across extra appends) — byte-
+    identical to the host codec both directions.  The interpret suite
+    covers this logic slowly; this runs the real Mosaic lowering."""
+    import jax.numpy as jnp
+    from jpeg_tpu import entropy
+    from jpeg_tpu.entropy import device_codec as DC
+    rng = np.random.default_rng(5)
+    L = 144
+    lv = np.zeros((96, L), np.int32)
+    mask = rng.random(lv.shape) < 0.04          # sparse: long runs abound
+    lv[mask] = rng.integers(-16383, 16384, int(mask.sum()))
+    lv[1] = 0
+    lv[1, L - 1] = 5                            # maximal 143-zero run
+    lv[2] = 0
+    lv[2, 0] = -3                               # trailing zeros dropped
+    lv[3] = 0
+    lv[3, 75] = 7
+    lv[3, L - 1] = -9                           # two long runs, one block
+    want = entropy.encode_levels(lv)
+    buf, bb = jax.jit(DC.encode_stream)(jnp.asarray(lv))
+    buf, total = np.asarray(buf), int(np.asarray(bb).sum())
+    assert buf[:total].tobytes() == want
+    assert not buf[total:].any()
+    # device bit-parse of the same stream returns the exact levels
+    starts = entropy.scan_offsets(want, lv.shape[0], L)
+    from jpeg_tpu.utils.device import pow2_cap
+    pad = pow2_cap(total)
+    arr = np.zeros(pad, np.uint8)
+    arr[:total] = np.frombuffer(want, np.uint8)
+    got = np.asarray(jax.jit(
+        lambda s, t: DC.decode_stream(s, t, L, 0))(arr, starts))
+    np.testing.assert_array_equal(got, lv)
+
+
+def test_sized_encode_on_chip(img):
+    """Two-phase content-sized encode (production default) == host-entropy
+    container bytes, through the public API on the real chip."""
+    import os
+    from jpeg_tpu import api
+    cfg = _cfg()
+    blob = api.compress_ycbcr(img, cfg)
+    env = dict(os.environ)
+    os.environ["JPEG_TPU_HOST_ENTROPY"] = "1"
+    try:
+        want = api.compress_ycbcr(img, cfg)
+    finally:
+        os.environ.clear()
+        os.environ.update(env)
+    assert blob == want
