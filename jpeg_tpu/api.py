@@ -128,9 +128,9 @@ def _entropy_sized_fn(W: int, cap: int):
     return jax.jit(f)
 
 
-def _sized_entropy_enabled() -> bool:
+def _sized_entropy_enabled(L: int = 0) -> bool:
     from .entropy import device_codec as DC
-    return DC.sized_entropy_default()
+    return DC.sized_entropy_default(L)
 
 
 @functools.lru_cache(maxsize=None)
@@ -214,7 +214,7 @@ def _start_compress(ycbcr: np.ndarray, config: Configuration, dt, pal):
     n_total = 3 * config.num_blocks
     if _use_device_entropy():
         if n_total <= DC.max_chunk_blocks(L):
-            if _sized_entropy_enabled():
+            if _sized_entropy_enabled(L):
                 fn = _encode3_levels_stats_fn(_band.config_key(config),
                                               dt.name, pal)
                 return ("dev_sized", L, *fn(planes))
@@ -367,8 +367,8 @@ def _start_decompress(bytestream: bytes, dtype):
         pad = pow2_cap(len(buf))
         arr = np.zeros(pad, np.uint8)
         arr[:len(buf)] = np.frombuffer(buf, np.uint8)
-        # Bucketed longest-block width sizes the decode word-row gather
-        # (same as the serial path, _decompress_device).
+        # Bucketed longest-block width sizes the decode word-row gather;
+        # serial decompress_to_ycbcr shares this code (and executable).
         fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad,
                                 DC.bucket_block_bytes(L, max_bb))
         return fn(arr, np.concatenate(starts))

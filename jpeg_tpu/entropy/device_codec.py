@@ -215,6 +215,15 @@ def encode_rows(levels, interpret=None, W: int = 0):
         # the suite — JPEG_TPU_ENC_LV=1 forces it
         # (tests/test_merge_kernel.py:test_lv_kernel_long_runs).
         return PK.encode_stream_rows_lv(levels, W, interpret=interpret)
+    if L > 75 and not os.environ.get("JPEG_TPU_ENC_TABLES"):
+        # Table groups are 64-bit: > 4 chain bytes cannot be represented,
+        # so long zero-runs would corrupt silently.  Callers are expected
+        # to route large-L off-TPU encodes to the scatter path
+        # (encode_stream's guard / sized_entropy_default(L)); reaching here
+        # without the explicit tables override is a bug.
+        raise ValueError(
+            f"tables encode path cannot carry L={L} zero-run chains; "
+            "use the lv kernel (JPEG_TPU_ENC_LV=1) or the scatter path")
     cbits, vhi, vlo, blk_bytes = _unit_groups(levels)
     rows = PK.encode_stream_rows(cbits, vhi, vlo, W, interpret=interpret)
     return rows, blk_bytes
@@ -307,7 +316,7 @@ def _merge_rows_device(rows, lens, depth):
     return out.reshape(U, H), l.reshape(U)
 
 
-def _use_merge_kernel(n, W, depth) -> bool:
+def _use_merge_kernel(W, depth) -> bool:
     import os
     if os.environ.get("JPEG_TPU_MERGE_XLA"):
         return False
@@ -352,7 +361,7 @@ def compact_rows(rows, blk_bytes, L, cap: int = 0):
             [rows, jnp.zeros((n_pad - n, W), rows.dtype)], axis=0)
         blk_bytes = jnp.concatenate(
             [blk_bytes, jnp.zeros(n_pad - n, blk_bytes.dtype)])
-    if _use_merge_kernel(n_pad, W, m):
+    if _use_merge_kernel(W, m):
         units, ulen = _merge_rows_device(rows, blk_bytes, m)
     else:
         units, ulen = _merge_rows(rows, blk_bytes, m)
@@ -509,13 +518,22 @@ def _pallas_decode_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def sized_entropy_default() -> bool:
+def sized_entropy_default(L: int = 0) -> bool:
     """Content-sized two-phase encode: on for the Pallas row path unless
-    JPEG_TPU_ENC_SIZED=0 (the scatter fallback has no width/cap knobs)."""
+    JPEG_TPU_ENC_SIZED=0 (the scatter fallback has no width/cap knobs).
+
+    Off for L > 75 away from a real TPU (unless JPEG_TPU_ENC_LV forces the
+    lv kernel): such bands can hold zero-runs needing more than 4 chain
+    bytes, which only the lv kernel carries — callers then fall back to
+    :func:`encode_stream`, whose own guard routes to the scatter path.
+    """
     import os
     if os.environ.get("JPEG_TPU_ENC_SIZED", "1") == "0":
         return False
     if os.environ.get("JPEG_TPU_ENC_SCATTER"):
+        return False
+    if (L > 75 and jax.default_backend() != "tpu"
+            and not os.environ.get("JPEG_TPU_ENC_LV")):
         return False
     return _pallas_decode_enabled()
 

@@ -379,6 +379,14 @@ def _batch_stream_chunked_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
     return fn
 
 
+def _check_amp(mx: int) -> None:
+    from ..config import BadRleCodeError
+    from ..entropy import MAX_AMP
+    if mx > MAX_AMP:
+        raise BadRleCodeError(
+            f"amplitude {mx} exceeds the representable {MAX_AMP}")
+
+
 def compress_batch(images, config: Configuration, mesh,
                    dtype=None, device_entropy: Optional[bool] = None
                    ) -> List[bytes]:
@@ -401,15 +409,13 @@ def compress_batch(images, config: Configuration, mesh,
         device_entropy = device_entropy_default()
 
     if device_entropy:
-        from ..config import BadRleCodeError
-        from ..entropy import MAX_AMP
         from ..entropy import device_codec as DC
         dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
         pal = _mesh_pallas(mesh, dt, config.transform)
         L = config.dct_size ** 2
         n_total = b * 3 * config.num_blocks
         m = DC.max_chunk_blocks(L)
-        if n_total <= m and DC.sized_entropy_default():
+        if n_total <= m and DC.sized_entropy_default(L):
             # Content-sized two-phase encode: the host pulls only the stats
             # vector, buckets the entropy shapes and dispatches phase 2 on
             # the device-resident levels.
@@ -417,28 +423,20 @@ def compress_batch(images, config: Configuration, mesh,
                                         mesh, tuple(bands.shape), pal)
             flat, stats = fn(jnp.asarray(bands))
             st = np.asarray(stats)
-            bb = st[:3 * b].astype(np.int64)
+            band_bytes = st[:3 * b]
             max_bb, total, mx = (int(x) for x in st[3 * b:])
-            if mx > MAX_AMP:
-                raise BadRleCodeError(
-                    f"amplitude {mx} exceeds the representable {MAX_AMP}")
+            _check_amp(mx)
             Wb = DC.encode_words_bucket(L, max_bb)
             cap = DC.encode_cap_bucket(
                 total, n_total * DC.worst_case_block_bytes(L))
             buf = pull_prefix(_batch_entropy_sized_fn(Wb, cap, mesh)(flat),
                               total)
-            offs = np.concatenate([[0], np.cumsum(bb)]).astype(np.int64)
-            streams = [buf[offs[i]:offs[i + 1]] for i in range(3 * b)]
-            out = []
-            for i in range(b):
-                data = CompressedData(streams[3 * i], streams[3 * i + 1],
-                                      streams[3 * i + 2])
-                out.append(container.generate_data(config, data))
-            return out
-        if n_total <= m:
+        elif n_total <= m:
             fn = _batch_stream_fn(band_ops.config_key(config), dt.name, mesh,
                                   tuple(bands.shape), pal)
             stream, band_bytes, mx = fn(jnp.asarray(bands))
+            _check_amp(int(mx))
+            buf = pull_prefix(stream, int(np.asarray(band_bytes).sum()))
         else:
             # Past the int32 bit-position ceiling the encoder self-chunks;
             # byte-aligned blocks make the chunk concatenation exact.
@@ -446,16 +444,10 @@ def compress_batch(images, config: Configuration, mesh,
                                           dt.name, mesh, tuple(bands.shape),
                                           pal, m)
             bufs, blk_bytes, band_bytes, mx = fn(jnp.asarray(bands))
-        if int(mx) > MAX_AMP:
-            raise BadRleCodeError(
-                f"amplitude {int(mx)} exceeds the representable {MAX_AMP}")
-        bb = np.asarray(band_bytes)
-        total = int(bb.sum())
-        if n_total <= m:
-            buf = pull_prefix(stream, total)
-        else:
+            _check_amp(int(mx))
             buf = DC.assemble_chunks(bufs, blk_bytes, m)
-        offs = np.concatenate([[0], np.cumsum(bb)]).astype(np.int64)
+        bb = np.asarray(band_bytes).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(bb)])
         streams = [buf[offs[i]:offs[i + 1]] for i in range(3 * b)]
     else:
         dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())

@@ -54,9 +54,8 @@ def test_merge_kernel_multi_unit_and_edges(monkeypatch):
     W, m = 16, 7
     # 3 units; lengths hitting both extremes (empty rows pad, full rows)
     rows, lens = _random_rows(3 << m, W)
-    lens[0] = 4 * W            # full first row: zero shift for its partner
-    rows[1], lens[1] = 0, 0    # wait: len 0 rows only exist as unit padding
-    lens[1] = 1
+    lens[0] = 4 * W              # full first row: zero shift for its partner
+    rows[1], lens[1] = 0, 1      # 1-byte row whose content is a zero byte
     rows[2:4], lens[2:4] = 0, 0  # all-pad pair inside a real unit
     _check(rows, lens, m)
 

@@ -161,6 +161,26 @@ def test_api_sized_pipelined_matches(monkeypatch):
     assert api.compress_many(imgs, cfg) == want
 
 
+def test_large_L_off_tpu_sized_gate(monkeypatch):
+    """Off-TPU, L > 75 must NOT take the sized/tables kernel paths: such
+    bands can hold zero-runs needing > 4 chain bytes, which only the (too-
+    slow-to-interpret) lv kernel carries.  The gate routes callers to
+    encode_stream, whose guard picks the always-correct scatter path; the
+    tables path itself refuses (code-review finding, round 2)."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    assert DC.sized_entropy_default(64)
+    assert not DC.sized_entropy_default(100)
+    lv = np.zeros((4, 100), np.int32)
+    lv[1, 99] = 5                     # 99-zero run: 6 chain bytes
+    lv[2, 0] = 3
+    want = NC.encode_levels(lv)
+    buf, bb = jax.jit(DC.encode_stream)(jnp.asarray(lv))
+    buf, total = np.asarray(buf), int(np.asarray(bb).sum())
+    assert buf[:total].tobytes() == want and not buf[total:].any()
+    with pytest.raises(ValueError, match="lv kernel"):
+        DC.encode_rows(jnp.asarray(lv))
+
+
 def test_batch_sized_matches_host(monkeypatch):
     """parallel.compress_batch through the sized two-phase path (virtual
     mesh, device entropy forced) == per-image host-entropy containers."""
