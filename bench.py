@@ -83,7 +83,25 @@ def measure_reference_band_mps(budget_s: float = 6.0) -> float:
         return _RECORDED_BASELINE_BAND_MPS
 
 
+def _backend_usable(timeout_s: int = 150) -> bool:
+    """Probe backend init in a subprocess: a dead TPU tunnel HANGS
+    jax.devices() rather than erroring, which would hang the whole bench."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _backend_usable():
+        log("WARNING: accelerator backend unusable (tunnel down?); "
+            "falling back to CPU — numbers do NOT reflect TPU throughput")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from jpeg_tpu.utils.jit_cache import enable_persistent_cache
     enable_persistent_cache()
     from jpeg_tpu import Configuration, QuantizationMethod, compress_ycbcr
@@ -144,11 +162,13 @@ def main() -> None:
     log(f"reference baseline: {base_band:.4f} band MP/s "
         f"-> {base_img:.4f} image MP/s")
 
+    import jax
     print(json.dumps({
         "metric": "encode_throughput",
         "value": round(mps, 2),
         "unit": "megapixels/s",
         "vs_baseline": round(mps / base_img, 1),
+        "backend": jax.default_backend(),
     }))
 
 
