@@ -96,12 +96,52 @@ def _backend_usable(timeout_s: int = 150) -> bool:
         return False
 
 
+_KERNEL_SMOKE = """
+import numpy as np, jax, jax.numpy as jnp
+from jpeg_tpu.entropy import device_codec as DC
+from jpeg_tpu import entropy
+rng = np.random.default_rng(0)
+lv = np.zeros((600, 64), np.int32)
+m = rng.random(lv.shape) < 0.1
+lv[m] = rng.integers(-2000, 2000, int(m.sum()))
+buf, bb = jax.jit(DC.encode_stream)(jnp.asarray(lv))
+total = int(np.asarray(bb).sum())
+assert np.asarray(buf)[:total].tobytes() == entropy.encode_levels(lv)
+"""
+
+
+def _kernel_smoke_ok(timeout_s: int = 900) -> bool:
+    """Compile + run the production encode kernels on the live backend in a
+    subprocess (first remote Mosaic/XLA compile can take minutes).  If it
+    fails, the bench falls back to the proven kernel variants rather than
+    crashing — new-kernel regressions then cost speed, not the artifact."""
+    import subprocess
+    try:
+        r = subprocess.run([sys.executable, "-c", _KERNEL_SMOKE],
+                           timeout=timeout_s, capture_output=True)
+        if r.returncode != 0:
+            log(f"kernel smoke failed:\n{r.stderr.decode()[-800:]}")
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        log("kernel smoke timed out")
+        return False
+
+
 def main() -> None:
     if not _backend_usable():
         log("WARNING: accelerator backend unusable (tunnel down?); "
             "falling back to CPU — numbers do NOT reflect TPU throughput")
         import jax
         jax.config.update("jax_platforms", "cpu")
+    elif not _kernel_smoke_ok():
+        log("WARNING: production kernel smoke failed on this backend; "
+            "benching with the fallback kernel variants "
+            "(JPEG_TPU_ENC_TABLES=1 JPEG_TPU_MERGE_XLA=1)")
+        os.environ["JPEG_TPU_ENC_TABLES"] = "1"
+        os.environ["JPEG_TPU_MERGE_XLA"] = "1"
+        if not _kernel_smoke_ok():
+            log("WARNING: fallback kernels failed too; host entropy only")
+            os.environ["JPEG_TPU_HOST_ENTROPY"] = "1"
     from jpeg_tpu.utils.jit_cache import enable_persistent_cache
     enable_persistent_cache()
     from jpeg_tpu import Configuration, QuantizationMethod, compress_ycbcr
