@@ -210,3 +210,26 @@ def test_sized_encode_on_chip(img):
         os.environ.clear()
         os.environ.update(env)
     assert blob == want
+
+
+def test_merge_kernel_matches_xla_on_chip():
+    """Compiled Mosaic merge kernel == the XLA pairwise merge on real
+    hardware (the interpret suite validates the logic; this validates the
+    Mosaic lowering: 4-D block specs, lane/sublane concat ladders)."""
+    import jax.numpy as jnp
+    from jpeg_tpu.entropy import device_codec as DC
+    rng = np.random.default_rng(7)
+    n, W, m = 2 << DC.MERGE_DEPTH, 16, DC.MERGE_DEPTH
+    lens = rng.integers(0, 4 * W + 1, n).astype(np.int32)
+    b = np.zeros((n, 4 * W), np.uint32)
+    mask = np.arange(4 * W)[None, :] < lens[:, None]
+    b[mask] = rng.integers(1, 256, int(mask.sum()))
+    sh = (24 - 8 * (np.arange(4 * W) % 4)).astype(np.uint32)
+    rows = np.bitwise_or.reduce(
+        (b << sh).reshape(n, W, 4), axis=2).astype(np.int32)
+    want_u, want_l = jax.jit(
+        lambda r, l: DC._merge_rows(r, l, m))(rows, jnp.asarray(lens))
+    got_u, got_l = jax.jit(
+        lambda r, l: DC._merge_rows_device(r, l, m))(rows, jnp.asarray(lens))
+    np.testing.assert_array_equal(np.asarray(want_l), np.asarray(got_l))
+    np.testing.assert_array_equal(np.asarray(want_u), np.asarray(got_u))
