@@ -157,3 +157,22 @@ def test_compress_many_matches_serial():
     with pytest.raises(ValueError):
         api.compress_many(imgs, cfg, depth=0)
     assert api.compress_many([], cfg) == []
+
+
+def test_decompress_many_mixed_configs():
+    """The decode pipeline handles heterogeneous blobs (different image
+    sizes/configs interleaved): each blob parses its own config, so the
+    in-flight states may use different executables."""
+    from jpeg_tpu import api
+    rng = np.random.default_rng(9)
+    blobs = []
+    for w, h, d in [(32, 24, 8), (48, 48, 4), (32, 24, 8), (16, 16, 8)]:
+        q = QuantizationMethod("qtable" if d == 8 else "divide",
+                               **({} if d == 8 else {"divisor": 50}))
+        cfg = Configuration(width=w, height=h, block_size=2, dct_size=d,
+                            quantization=q)
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        blobs.append(api.compress_ycbcr(img, cfg))
+    recon = api.decompress_many(blobs, depth=2)
+    for r, blob in zip(recon, blobs):
+        np.testing.assert_array_equal(r, api.decompress_to_ycbcr(blob))
