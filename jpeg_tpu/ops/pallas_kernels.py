@@ -391,10 +391,13 @@ def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int):
         for j in range(n_sub):
             over = jnp.clip(nchains - 4 - 4 * j, 0, 4)
             k8o = (8 * over).astype(jnp.uint32)
+            # (32 - k8o) & 31 == min(32 - k8o, 31) after the over > 0 mask
+            # (k8o is a byte multiple in [0, 32]); Mosaic cannot legalize
+            # vector arith.minui, so the clamp must be bitwise.
             pko = jnp.where(
                 over > 0,
                 jnp.uint32(0xF0F0F0F0)
-                >> jnp.minimum(jnp.uint32(32) - k8o, 31), 0)
+                >> ((jnp.uint32(32) - k8o) & jnp.uint32(31)), 0)
             co = jnp.where(nz, 8 * over, 0)
             total = total + co
             words = _append_group(words, co, z, jnp.where(nz, pko, 0), W)
@@ -405,9 +408,10 @@ def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int):
         # nch bytes of 0xF0, right-justified (same masked-shift form as
         # _unit_groups: the k8 = 0 lane is masked, not shifted by 32)
         k8 = (8 * nch).astype(jnp.uint32)
+        # same bitwise clamp as above: Mosaic has no vector arith.minui
         pk = jnp.where(
             nch > 0,
-            jnp.uint32(0xF0F0F0F0) >> jnp.minimum(jnp.uint32(32) - k8, 31),
+            jnp.uint32(0xF0F0F0F0) >> ((jnp.uint32(32) - k8) & jnp.uint32(31)),
             0)
         sb = (8 + size).astype(jnp.uint32)        # code bits, 9..23 when nz
         lo = jnp.where(nz, (pk << sb) | code, 0)
