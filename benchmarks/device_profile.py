@@ -120,11 +120,33 @@ def main() -> None:
 
     results = {}
 
-    def record(name, secs):
-        results[name] = {"ms": round(secs * 1e3, 3),
-                         "mps": round(mp / secs, 1) if secs > 0 else None}
+    # Roofline accounting: algorithmic bytes (inputs read + outputs written,
+    # the HBM traffic lower bound — fused intermediates live in VMEM) per
+    # stage, reported as effective GB/s and % of the chip's peak HBM
+    # bandwidth.  v5e peak = 819 GB/s (public spec); override with HBM_GBPS.
+    hbm_gbps = float(os.environ.get("HBM_GBPS", "819"))
+    plane_b = planes.nbytes                       # 3*H*W uint8
+    levels_b = levels.nbytes                      # 3*nb*L int32
+    stream_b = len(stream)
+    starts_b = st_d.nbytes
+    bb_b = levels.shape[0] * 4
+
+    def record(name, secs, nbytes=None):
+        row = {"ms": round(secs * 1e3, 3),
+               "mps": round(mp / secs, 1) if secs > 0 else None}
+        bwtxt = ""
+        if nbytes is not None:
+            row["bytes_min"] = int(nbytes)
+            if secs > 0:
+                gbps = nbytes / secs / 1e9
+                row["gbps_eff"] = round(gbps, 1)
+                row["hbm_pct"] = round(100 * gbps / hbm_gbps, 1)
+                bwtxt = (f"  {nbytes / 1e6:7.1f} MB {gbps:7.1f} GB/s "
+                         f"{row['hbm_pct']:5.1f}% HBM")
+        results[name] = row
         mps = f"{mp / secs:9.1f} MP/s" if secs > 0 else "  (< noise)"
-        print(f"{name:14s} {secs * 1e3:8.2f} ms {mps}", file=sys.stderr)
+        print(f"{name:17s} {secs * 1e3:8.2f} ms {mps}{bwtxt}",
+              file=sys.stderr)
 
     dtp = planes.dtype
 
@@ -141,7 +163,7 @@ def main() -> None:
         lv = jax.vmap(enc)(p)
         return p + dep(lv).astype(dtp)
 
-    record("coeff_enc", marginal(coeff_enc, pl_d))
+    record("coeff_enc", marginal(coeff_enc, pl_d), plane_b + levels_b)
 
     def ent_enc(lv):
         buf, bb = DC.encode_stream(lv)
@@ -149,7 +171,7 @@ def main() -> None:
         # dead-code the stream-buffer scatters (the actual work)
         return lv + dep(buf) + dep(bb)
 
-    record("entropy_enc", marginal(ent_enc, lv_d))
+    record("entropy_enc", marginal(ent_enc, lv_d), levels_b + stream_b + bb_b)
 
     def fused_enc(p):
         lv = jax.vmap(enc)(p)
@@ -157,7 +179,7 @@ def main() -> None:
             lv.reshape(-1, L), 3)
         return p + (dep(buf) + dep(bb) + dep(mx)).astype(dtp)
 
-    record("fused_enc", marginal(fused_enc, pl_d))
+    record("fused_enc", marginal(fused_enc, pl_d), plane_b + stream_b + bb_b)
 
     # Content-sized two-phase encode (production path, api.py:_start_compress):
     # phase 1 = coeff + stream geometry stats; phase 2 = entropy encode at
@@ -177,35 +199,35 @@ def main() -> None:
         b = DC.block_bytes_of(lv)
         return p + (dep(lv) + dep(b)).astype(dtp)
 
-    record("enc_phase1", marginal(enc_phase1, pl_d))
+    record("enc_phase1", marginal(enc_phase1, pl_d), plane_b + levels_b + bb_b)
 
     def ent_enc_sized(lv):
         buf, b = DC.encode_stream_sized(lv, W, cap)
         return lv + dep(buf) + dep(b)
 
-    record("entropy_enc_sized", marginal(ent_enc_sized, lv_d))
+    record("entropy_enc_sized", marginal(ent_enc_sized, lv_d), levels_b + stream_b + bb_b)
     p1 = results["enc_phase1"]["ms"]
     p2 = results["entropy_enc_sized"]["ms"]
-    record("enc_sized_total", (p1 + p2) / 1e3)
+    record("enc_sized_total", (p1 + p2) / 1e3, plane_b + 2 * levels_b + stream_b + bb_b)
 
     def ent_dec(st):
         lv = DC.decode_stream(arr_d, st, L, bucket_bb)
         return st + dep(lv)
 
-    record("entropy_dec", marginal(ent_dec, st_d))
+    record("entropy_dec", marginal(ent_dec, st_d), stream_b + starts_b + levels_b)
 
     def coeff_dec(lv):
         p = jax.vmap(dec)(lv.reshape(3, nb, L))
         return lv + dep(p)
 
-    record("coeff_dec", marginal(coeff_dec, lv_d))
+    record("coeff_dec", marginal(coeff_dec, lv_d), levels_b + plane_b)
 
     def fused_dec(st):
         lv = DC.decode_stream(arr_d, st, L, bucket_bb)
         p = jax.vmap(dec)(lv.reshape(3, nb, L))
         return st + dep(p)
 
-    record("fused_dec", marginal(fused_dec, st_d))
+    record("fused_dec", marginal(fused_dec, st_d), stream_b + starts_b + plane_b)
 
     if out_json:
         with open(out_json, "w") as f:
