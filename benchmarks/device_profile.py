@@ -202,7 +202,7 @@ def main() -> None:
     record("enc_phase1", marginal(enc_phase1, pl_d), plane_b + levels_b + bb_b)
 
     def ent_enc_sized(lv):
-        buf, b = DC.encode_stream_sized(lv, W, cap)
+        buf, b, _bad = DC.encode_stream_sized(lv, W, cap)
         return lv + dep(buf) + dep(b)
 
     record("entropy_enc_sized", marginal(ent_enc_sized, lv_d), levels_b + stream_b + bb_b)

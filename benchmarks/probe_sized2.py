@@ -156,7 +156,7 @@ def main() -> None:
         DC.MERGE_DEPTH, DC.GATHER_G = mm, GG
 
         def full(lv):
-            buf, b = DC.encode_stream_sized(lv, W, cap)
+            buf, b, _bad = DC.encode_stream_sized(lv, W, cap)
             return lv + dep(buf) + dep(b)
         got = np.asarray(jax.jit(
             lambda lv: DC.encode_stream_sized(lv, W, cap)[0])(lv_d))

@@ -123,7 +123,8 @@ def _entropy_sized_fn(W: int, cap: int):
     from .entropy import device_codec as DC
 
     def f(flat):
-        return DC.encode_stream_sized(flat, W, cap)[0]
+        buf, _, bad = DC.encode_stream_sized(flat, W, cap)
+        return buf, bad
 
     return jax.jit(f)
 
@@ -254,8 +255,8 @@ def _advance_compress(state, config: Configuration):
     W = DC.encode_words_bucket(L, max_bb)
     cap = DC.encode_cap_bucket(
         total, flat.shape[0] * DC.worst_case_block_bytes(L))
-    buf_dev = _entropy_sized_fn(W, cap)(flat)
-    return ("dev_sized2", buf_dev, total, b0, b1)
+    buf_dev, bad = _entropy_sized_fn(W, cap)(flat)
+    return ("dev_sized2", buf_dev, bad, total, b0, b1)
 
 
 def _finish_compress(state, config: Configuration) -> bytes:
@@ -266,7 +267,8 @@ def _finish_compress(state, config: Configuration) -> bytes:
         state = _advance_compress(state, config)
         kind = state[0]
     if kind == "dev_sized2":
-        _, buf_dev, total, b0, b1 = state
+        _, buf_dev, bad, total, b0, b1 = state
+        DC.check_sized_ok(bad)
         buf = _pull_prefix(buf_dev, total)
         bb = [b0, b1, total - b0 - b1]
         bands = [buf[sum(bb[:i]):sum(bb[:i + 1])] for i in range(3)]

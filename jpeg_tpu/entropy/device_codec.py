@@ -494,8 +494,9 @@ def encode_stream(levels):
 
 
 def encode_stream_sized(levels, W: int, cap: int):
-    """(N, L) int32 levels -> (bytes_u8[cap], blk_bytes (N,) int32), with
-    the row width and output buffer sized by the band's ACTUAL content.
+    """(N, L) int32 levels -> (bytes_u8[cap], blk_bytes (N,) int32,
+    overflowed bool scalar), with the row width and output buffer sized by
+    the band's ACTUAL content.
 
     The caller measures ``max(block_bytes_of(levels))`` and its sum in a
     first device program (one tiny stats pull), buckets them
@@ -504,9 +505,28 @@ def encode_stream_sized(levels, W: int, cap: int):
     and merge data and 5-10x fewer gather indices than the worst case.
     Output bytes are identical to :func:`encode_stream`'s used prefix.
     Requires the Pallas row path (the scatter fallback has no width knob).
+
+    An undersized W (a block needing more than 4*W bytes) or cap (total
+    stream longer than the buffer) would truncate SILENTLY — the wire
+    format has no redundancy to catch it (reference rle_byte_stream.py:
+    48-58).  Both conditions are checked in-program from the blk_bytes the
+    kernel already computes: on violation the whole buffer is zeroed and
+    the returned flag set; hosts must raise via :func:`check_sized_ok`.
     """
     rows, blk_bytes = encode_rows(levels, W=W)
-    return compact_rows(rows, blk_bytes, levels.shape[-1], cap), blk_bytes
+    buf = compact_rows(rows, blk_bytes, levels.shape[-1], cap)
+    bad = (jnp.max(blk_bytes) > 4 * W) | (jnp.sum(blk_bytes) > buf.shape[0])
+    return jnp.where(bad, jnp.uint8(0), buf), blk_bytes, bad
+
+
+def check_sized_ok(bad) -> None:
+    """Host-side check of :func:`encode_stream_sized`'s overflow flag."""
+    if bool(bad):
+        raise ValueError(
+            "sized encode overflow: a block exceeded the bucketed row "
+            "width or the stream exceeded the output cap — the row width "
+            "and cap must come from this band's own device-computed "
+            "stats (encode_words_bucket / encode_cap_bucket)")
 
 
 def _pallas_decode_enabled() -> bool:

@@ -349,7 +349,11 @@ def _batch_entropy_sized_fn(W: int, cap: int, mesh):
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
         from ..entropy import device_codec as DC
-        fn = jax.jit(lambda flat: DC.encode_stream_sized(flat, W, cap)[0])
+        def step(flat):
+            buf, _, bad = DC.encode_stream_sized(flat, W, cap)
+            return buf, bad
+
+        fn = jax.jit(step)
         _BATCH_FNS[cache_key] = fn
     return fn
 
@@ -429,8 +433,9 @@ def compress_batch(images, config: Configuration, mesh,
             Wb = DC.encode_words_bucket(L, max_bb)
             cap = DC.encode_cap_bucket(
                 total, n_total * DC.worst_case_block_bytes(L))
-            buf = pull_prefix(_batch_entropy_sized_fn(Wb, cap, mesh)(flat),
-                              total)
+            buf_dev, bad = _batch_entropy_sized_fn(Wb, cap, mesh)(flat)
+            DC.check_sized_ok(bad)
+            buf = pull_prefix(buf_dev, total)
         elif n_total <= m:
             fn = _batch_stream_fn(band_ops.config_key(config), dt.name, mesh,
                                   tuple(bands.shape), pal)

@@ -66,8 +66,9 @@ def _check_sized(levels, W=None, cap=None):
     if cap is None:
         cap = DC.encode_cap_bucket(
             total, levels.shape[0] * DC.worst_case_block_bytes(L))
-    buf, _ = jax.jit(
+    buf, _, bad = jax.jit(
         lambda lv: DC.encode_stream_sized(lv, W, cap))(jnp.asarray(levels))
+    assert not bool(bad)
     buf = np.asarray(buf)
     assert buf.shape[0] == min(
         cap, levels.shape[0] * DC.worst_case_block_bytes(L))
@@ -209,3 +210,43 @@ def test_api_sized_rejects_unrepresentable(monkeypatch):
     img = np.full((48, 48, 3), 200, dtype=np.uint8)
     with pytest.raises(BadRleCodeError):
         api.compress_ycbcr(img, cfg)
+
+
+def test_sized_undersized_width_detected(monkeypatch):
+    """An undersized row width must be DETECTED in-program (flag set,
+    buffer zeroed) and raised by the host check — never silently truncated
+    (the wire format has no redundancy, reference rle_byte_stream.py:48-58).
+    """
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    levels = np.full((16, 64), 16383, dtype=np.int32)    # 185-byte blocks
+    bb = np.asarray(jax.jit(DC.block_bytes_of)(jnp.asarray(levels)))
+    cap = DC.encode_cap_bucket(int(bb.sum()),
+                               16 * DC.worst_case_block_bytes(64))
+    buf, _, bad = jax.jit(
+        lambda lv: DC.encode_stream_sized(lv, 8, cap))(jnp.asarray(levels))
+    assert bool(bad)                             # W=8 holds only 32 bytes
+    assert not np.asarray(buf).any()             # poisoned, not plausible
+    with pytest.raises(ValueError, match="sized encode overflow"):
+        DC.check_sized_ok(bad)
+
+
+def test_sized_undersized_cap_detected(monkeypatch):
+    """A cap shorter than the true stream must set the flag too."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    levels = np.zeros((40, 64), dtype=np.int32)
+    levels[:, :6] = RNG.integers(-100, 100, (40, 6))
+    bb = np.asarray(jax.jit(DC.block_bytes_of)(jnp.asarray(levels)))
+    W = DC.encode_words_bucket(64, int(bb.max()))
+    total = int(bb.sum())
+    _, _, bad = jax.jit(
+        lambda lv: DC.encode_stream_sized(lv, W, total - 8))(
+            jnp.asarray(levels))
+    assert bool(bad)
+    ok_buf, _, ok = jax.jit(
+        lambda lv: DC.encode_stream_sized(lv, W, total))(jnp.asarray(levels))
+    assert not bool(ok)                          # exact cap stays legal
+    assert np.asarray(ok_buf)[:total].tobytes() == NC.encode_levels(levels)
