@@ -178,7 +178,12 @@ def main() -> None:
     mps = IMG_H * IMG_W / pdt / 1e6
     assert blobs[0] == blob, "pipelined bytes != serial bytes"
     log(f"encode pipelined(x{REPS}): {pdt * 1e3:.1f} ms/img -> {mps:.1f} MP/s")
-    mps = max(mps, ser_mps)   # tunnel jitter can invert the two; report best
+    if mps < ser_mps:
+        # Tunnel jitter can invert the two; the pipelined figure stays the
+        # headline (fixed in advance — best-of-two would overstate).
+        log(f"NOTE: pipelined ({mps:.1f}) < serial ({ser_mps:.1f}) MP/s "
+            "this run — tunnel jitter; both reported, pipelined is the "
+            "headline")
 
     # Decode throughput (reported on stderr; encode stays the headline).
     from jpeg_tpu import decompress_many, decompress_to_ycbcr
@@ -209,6 +214,9 @@ def main() -> None:
         "unit": "megapixels/s",
         "vs_baseline": round(mps / base_img, 1),
         "backend": jax.default_backend(),
+        "serial_mps": round(ser_mps, 2),
+        "decode_mps": round(IMG_H * IMG_W / pddt / 1e6, 2),
+        "decode_serial_mps": round(IMG_H * IMG_W / ddt / 1e6, 2),
     }))
 
 
