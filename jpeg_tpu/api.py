@@ -354,9 +354,11 @@ def _start_decompress(bytestream: bytes, dtype):
     dt, pal = _dt_and_pallas(config, dtype)
     from .utils.device import device_entropy_default, pow2_cap
     total = len(data.y) + len(data.cb) + len(data.cr)
+    from .entropy import device_codec as DC
+    # Gate on the codec's own tunable bit-position ceiling (DC._CAP_BITS,
+    # tests lower it) so admission and the decode_stream check never skew.
     if (device_entropy_default(decode=True)
-            and pow2_cap(total) * 8 < 2 ** 31):
-        from .entropy import device_codec as DC
+            and pow2_cap(total) * 8 < DC._CAP_BITS):
         nb, L = config.num_blocks, config.dct_size ** 2
         streams = [data.y, data.cb, data.cr]
         starts, off, max_bb = [], 0, 0

@@ -734,12 +734,17 @@ def decode_stream(stream_u8, starts, L: int, max_block_bytes: int = 0):
         done = done | (active & is_eob)
         return step + 1, pos, widx, done, wts, amps
 
+    # Derive every carry init from the inputs so its "varying manual axes"
+    # match the body outputs under shard_map (constants created here are
+    # unvarying, while the body mixes in the sharded stream/starts; adding
+    # a zero of the varying `starts` tags the init without changing it).
+    v0 = starts.astype(jnp.int32) * 0
     init = (jnp.int32(0),
             starts.astype(jnp.int32) * 8,
-            jnp.zeros(n, jnp.int32),
-            jnp.zeros(n, bool),
-            jnp.full((max_steps, n), L, jnp.int32),
-            jnp.zeros((max_steps, n), jnp.int32))
+            v0,
+            v0 != 0,
+            jnp.full((max_steps, n), L, jnp.int32) + v0[None, :],
+            jnp.zeros((max_steps, n), jnp.int32) + v0[None, :])
     _, _, _, _, wts, amps = jax.lax.while_loop(cond, body, init)
 
     # (N, L) assembly: positions per block are nondecreasing except for the

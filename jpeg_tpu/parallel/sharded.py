@@ -245,9 +245,10 @@ def decompress_plane(data: bytes, config: Configuration, mesh,
     flat = Mesh(mesh.devices.reshape(-1), (mesh_lib.BAND_AXIS,))
 
     if device_entropy is None:
+        from ..entropy import device_codec as DC
         from ..utils.device import device_entropy_default, pow2_cap
         device_entropy = (device_entropy_default(decode=True)
-                          and pow2_cap(len(data)) * 8 < 2 ** 31)
+                          and pow2_cap(len(data)) * 8 < DC._CAP_BITS)
     if device_entropy:
         from ..entropy import device_codec as DC
         from ..utils.device import pow2_cap
@@ -492,8 +493,12 @@ def decompress_batch(blobs: Sequence[bytes], mesh, dtype=None,
     if device_entropy is None:
         from ..utils.device import device_entropy_default, pow2_cap
         total = sum(len(s) for s in flat_streams)
+        from ..entropy import device_codec as DC
+        # Conservative: the sharded upload only needs each SLICE under the
+        # codec ceiling (DC._CAP_BITS), but slice sizes aren't known until
+        # after the boundary scan; total is always an upper bound.
         device_entropy = (device_entropy_default(decode=True)
-                          and pow2_cap(total) * 8 < 2 ** 31)
+                          and pow2_cap(total) * 8 < DC._CAP_BITS)
     if device_entropy:
         return _decompress_batch_device(flat_streams, config, mesh,
                                         len(blobs), dtype)
@@ -520,51 +525,113 @@ def decompress_batch(blobs: Sequence[bytes], mesh, dtype=None,
         0, 2, 3, 1).astype(np.uint8)
 
 
+def _shard_stream_slices(flat_streams: Sequence[bytes],
+                         scans: Sequence[np.ndarray],
+                         ndev: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Split a batch of byte-aligned band streams into per-device slices.
+
+    Every block's bitstream is byte-aligned (reference rle_byte_stream.py:
+    54-56) and its start byte is host-known from the boundary scans, so the
+    flat block range splits CONTIGUOUSLY across devices: device k gets
+    blocks [k*Nd, (k+1)*Nd) and only the bytes those blocks occupy — the
+    decode dual of the encode bitstream stitch.  Without this, the whole
+    concatenated batch stream would replicate to every device (8x HBM for
+    a multi-GB batch on a real slice).
+
+    Returns ``(slices (ndev, sw) uint8, local_starts (ndev, Nd) int32)``
+    where ``sw`` is the pow2-bucketed longest slice.  The flat block count
+    pads to a multiple of ndev with dummy blocks pointing at a trailing
+    zero byte (a 0x00 stream decodes as immediate EOB -> an all-zero
+    block); callers drop the padded tail.  Slice padding bytes are zero.
+    """
+    from ..utils.device import pow2_cap
+
+    # Global block start offsets (int64 on the host: only shard-LOCAL
+    # offsets ever reach the device, so batches past int32 total bytes
+    # stay decodable as long as each shard's slice fits).
+    starts, off = [], 0
+    for s, sc in zip(flat_streams, scans):
+        starts.append(sc.astype(np.int64) + off)
+        off += len(s)
+    gstarts = np.concatenate(starts)
+    total = off
+    n = gstarts.shape[0]
+    n_pad = -(-n // ndev) * ndev
+    nd = n_pad // ndev
+    # Block ends = next block's start; last real block ends at the stream
+    # end; dummy blocks read the appended zero byte.
+    ends = np.concatenate([gstarts[1:], [total]])
+    if n_pad != n:
+        gstarts = np.concatenate(
+            [gstarts, np.full(n_pad - n, total, np.int64)])
+        ends = np.concatenate([ends, np.full(n_pad - n, total + 1, np.int64)])
+    buf = b"".join(flat_streams) + b"\x00"
+    lo = gstarts[0::nd]                           # slice base per device
+    hi = ends[nd - 1::nd]                         # slice end per device
+    sw = pow2_cap(int((hi - lo).max()))
+    slices = np.zeros((ndev, sw), np.uint8)
+    view = np.frombuffer(buf, np.uint8)
+    for k in range(ndev):
+        slices[k, :hi[k] - lo[k]] = view[lo[k]:hi[k]]
+    local = (gstarts.reshape(ndev, nd) - lo[:, None]).astype(np.int32)
+    return slices, local
+
+
 def _decompress_batch_device(flat_streams: List[bytes],
                              config: Configuration, mesh, b: int,
                              dtype=None) -> np.ndarray:
-    """Device bit-parse + decode for a homogeneous batch of band streams."""
+    """Device bit-parse + decode for a homogeneous batch of band streams.
+
+    The bit parse runs under ``shard_map`` over the flattened mesh with
+    each device holding ONLY its contiguous slice of the batch stream
+    (:func:`_shard_stream_slices`); the parsed levels then reshard to the
+    (data, band) layout for the IDCT stage — levels are ~4x the pixel
+    volume, far cheaper to move over ICI than replicating the stream.
+    """
     from ..entropy import device_codec as DC
-    from ..utils.device import pow2_cap
 
     nb, L = config.num_blocks, config.dct_size ** 2
     with ThreadPoolExecutor(max_workers=min(16, len(flat_streams))) as pool:
         scans = list(pool.map(
             lambda s: entropy.scan_offsets(s, nb, L), flat_streams))
-    starts, off, max_bb = [], 0, 0
-    for s, sc in zip(flat_streams, scans):
-        starts.append(sc + off)
-        off += len(s)
-        max_bb = max(max_bb, DC.max_block_bytes_of(sc, len(s)))
-    buf = b"".join(flat_streams)
-    pad = pow2_cap(len(buf))
-    arr = np.zeros(pad, np.uint8)
-    arr[:len(buf)] = np.frombuffer(buf, np.uint8)
+    max_bb = max(DC.max_block_bytes_of(sc, len(s))
+                 for s, sc in zip(flat_streams, scans))
     bucket_bb = DC.bucket_block_bytes(L, max_bb)
+    ndev = int(mesh.devices.size)
+    slices, local_starts = _shard_stream_slices(flat_streams, scans, ndev)
+    n = b * 3 * nb
 
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
     key = band_ops.config_key(config)
     pal = _mesh_pallas(mesh, dt, config.transform)
-    cache_key = ("dec_stream", key, dt.name, mesh, pad, b, pal, bucket_bb)
+    cache_key = ("dec_stream", key, dt.name, mesh, slices.shape,
+                 local_starts.shape, b, pal, bucket_bb)
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         decode_one = band_ops.make_decode(key, dt.name, pal)
-        # The stream/starts replicate; bit parsing and IDCT shard over the
-        # batch (data) and block-row (band) axes.
+        # One device per row of `slices`: shard dim 0 over BOTH mesh axes
+        # jointly (flat device order == mesh.devices.reshape(-1), the order
+        # _shard_stream_slices assigned block ranges in).
+        both = (mesh_lib.DATA_AXIS, mesh_lib.BAND_AXIS)
         lv_sh = NamedSharding(mesh, mesh_lib.fit_spec(
             (b, 3, nb, L), mesh,
             P(mesh_lib.DATA_AXIS, None, mesh_lib.BAND_AXIS, None)))
+        in_sh = NamedSharding(mesh, P(both, None))
 
-        def step(stream_u8, starts_all):
-            levels = DC.decode_stream(stream_u8, starts_all, L, bucket_bb)
+        def parse_local(sl, st):
+            return DC.decode_stream(sl[0], st[0], L, bucket_bb)[None]
+
+        def step(sl, st):
+            lv = jax.shard_map(parse_local, mesh=mesh,
+                               in_specs=(P(both, None), P(both, None)),
+                               out_specs=P(both, None, None))(sl, st)
             levels = jax.lax.with_sharding_constraint(
-                levels.reshape(b, 3, nb, L), lv_sh)
+                lv.reshape(-1, L)[:n].reshape(b, 3, nb, L), lv_sh)
             planes = jax.vmap(jax.vmap(decode_one))(levels)
             return planes.astype(jnp.uint8)          # (B, 3, H, W)
 
-        fn = jax.jit(step, in_shardings=(mesh_lib.replicated(mesh),
-                                         mesh_lib.replicated(mesh)))
+        fn = jax.jit(step, in_shardings=(in_sh, in_sh))
         _BATCH_FNS[cache_key] = fn
-    planes = np.asarray(fn(arr, np.concatenate(starts)))
+    planes = np.asarray(fn(slices, local_starts))
     return planes.transpose(0, 2, 3, 1)

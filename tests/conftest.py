@@ -18,3 +18,23 @@ import jax
 # and force jax_platforms to it; tests must run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: exhaustive interpret-mode sweep; default run keeps a small "
+        "representative per kernel path, full sweep runs with "
+        "JPEG_TPU_SLOW_TESTS=1 (once per round)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("JPEG_TPU_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="set JPEG_TPU_SLOW_TESTS=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

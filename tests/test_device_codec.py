@@ -1,4 +1,6 @@
 """Device-side entropy encoder vs the host codec: bit-identical streams."""
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -255,7 +257,9 @@ def test_pallas_encode_kernel_matches_host(L, monkeypatch):
     from jpeg_tpu.ops import pallas_kernels as PK
     monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
     monkeypatch.setattr(PK, "ENC_TILE", 64)       # keep interpret fast
-    for density in (0.0, 0.08, 0.5, 1.0):
+    densities = ((0.0, 0.08, 0.5, 1.0)
+                 if os.environ.get("JPEG_TPU_SLOW_TESTS") else (0.08, 1.0))
+    for density in densities:
         levels = np.zeros((37, L), dtype=np.int32)
         mask = RNG.random(levels.shape) < density
         levels[mask] = RNG.integers(-16383, 16384, int(mask.sum()))
@@ -267,16 +271,11 @@ def test_pallas_encode_kernel_matches_host(L, monkeypatch):
         assert not buf[total:].any()
 
 
-def test_pallas_encode_merge_unit_edges(monkeypatch):
-    """Block counts straddling the 2**MERGE_DEPTH merge-unit size, with
-    max-length blocks adjacent to empty ones so compaction's output groups
-    span unit boundaries."""
+def _encode_merge_unit_edge(ns):
     from jpeg_tpu.ops import pallas_kernels as PK
-    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
-    monkeypatch.setattr(PK, "ENC_TILE", 64)
     L = 64
     u = 1 << DC.MERGE_DEPTH
-    for n in (1, u - 1, u, u + 1, 2 * u + 2):
+    for n in ns:
         levels = np.zeros((n, L), dtype=np.int32)
         levels[0::2, :] = 16383                   # worst-case length blocks
         levels[1::2, 0] = -1                      # next to near-empty ones
@@ -287,14 +286,39 @@ def test_pallas_encode_merge_unit_edges(monkeypatch):
         assert not buf[total:].any()
 
 
+def test_pallas_encode_merge_unit_edge(monkeypatch):
+    """A unit-straddle boundary in the default run, at the depth FLOOR
+    (compact_rows scales MERGE_DEPTH down for small batches, so depth 6 is
+    a real production configuration): n = 65 puts one block past the first
+    64-block unit with worst-length blocks next to near-empty ones.  The
+    full depth-9 straddle sweep is gated — each n is a separate ~25 s
+    interpret trace over 8x the blocks."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    _encode_merge_unit_edge((65,))           # floor: m=6 (u=64), G=16
+
+
+@pytest.mark.slow
+def test_pallas_encode_merge_unit_edges(monkeypatch):
+    """Block counts straddling the 2**MERGE_DEPTH merge-unit size, with
+    max-length blocks adjacent to empty ones so compaction's output groups
+    span unit boundaries."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    u = 1 << DC.MERGE_DEPTH
+    _encode_merge_unit_edge((1, u - 1, u, u + 1, 2 * u + 2))
+
+
 def test_pallas_encode_tile_boundary(monkeypatch):
     """Grid > 1: blocks spanning several ENC_TILE kernel tiles."""
     from jpeg_tpu.ops import pallas_kernels as PK
     monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
     monkeypatch.setattr(PK, "ENC_TILE", 8)
     L = 64
-    levels = np.zeros((20, L), dtype=np.int32)
-    for i in range(20):
+    levels = np.zeros((9, L), dtype=np.int32)
+    for i in range(9):
         k = int(RNG.integers(0, L))
         levels[i, :k] = RNG.integers(-50, 50, k)
     buf, blk_bytes = DC.encode_stream(jnp.asarray(levels))
@@ -302,6 +326,27 @@ def test_pallas_encode_tile_boundary(monkeypatch):
     assert np.asarray(buf)[:total].tobytes() == NC.encode_levels(levels)
 
 
+@pytest.mark.slow
+def test_pallas_encode_medium_L_tables(monkeypatch):
+    """dct_size 12 -> L = 144 through the tables kernel (multi-word
+    groups past the one-word fast path) in the default run; the L=576
+    sweep is gated."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("JPEG_TPU_ENC_TABLES", "1")
+    monkeypatch.setattr(PK, "ENC_TILE", 8)
+    L = 144
+    levels = np.zeros((3, L), dtype=np.int32)
+    mask = RNG.random(levels.shape) < 0.3
+    levels[mask] = RNG.integers(-16383, 16384, int(mask.sum()))
+    buf, blk_bytes = DC.encode_stream(jnp.asarray(levels))
+    total = int(np.asarray(blk_bytes).sum())
+    buf = np.asarray(buf)
+    assert buf[:total].tobytes() == NC.encode_levels(levels)
+    assert not buf[total:].any()
+
+
+@pytest.mark.slow
 def test_pallas_encode_large_L(monkeypatch):
     """dct_size 24 -> L = 576 vectors (wide W, multi-word groups).
 

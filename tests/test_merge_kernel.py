@@ -60,15 +60,13 @@ def test_merge_kernel_multi_unit_and_edges(monkeypatch):
     _check(rows, lens, m)
 
 
-def test_merge_kernel_fuzz(monkeypatch):
-    """Randomized + adversarial length patterns across (W, depth, units):
-    the in-session 36-draw campaign ran clean; these 8 committed draws keep
-    the suite fast while pinning each pattern family."""
-    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+_FUZZ_CASES = [(8, 6, 2, "rand"), (16, 7, 1, "min"), (16, 8, 1, "max"),
+               (24, 6, 3, "alt"), (32, 7, 1, "padzeros"), (40, 6, 1, "tiny"),
+               (48, 6, 2, "rand"), (16, 9, 1, "alt")]
+
+
+def _run_fuzz_cases(cases):
     rng = np.random.default_rng(42)
-    cases = [(8, 6, 2, "rand"), (16, 7, 1, "min"), (16, 8, 1, "max"),
-             (24, 6, 3, "alt"), (32, 7, 1, "padzeros"), (40, 6, 1, "tiny"),
-             (48, 6, 2, "rand"), (16, 9, 1, "alt")]
     for W, m, nu, mode in cases:
         if ((1 << m) * W) % 128:
             continue
@@ -98,6 +96,42 @@ def test_merge_kernel_fuzz(monkeypatch):
         _check(rows, lens, m)
 
 
+def test_merge_kernel_fuzz_smoke(monkeypatch):
+    """Two pattern families in the default run; the full 8-family sweep is
+    gated (each distinct (W, m) shape costs a ~5 s interpret trace)."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    _run_fuzz_cases([(8, 6, 2, "rand"), (16, 7, 1, "min")])
+
+
+@pytest.mark.slow
+def test_merge_kernel_fuzz(monkeypatch):
+    """All committed pattern-family draws (the in-session 36-draw campaign
+    ran clean; these 8 pin each family)."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    _run_fuzz_cases(_FUZZ_CASES)
+
+
+@pytest.mark.slow
+def test_lv_kernel_chunk_append_minimal(monkeypatch):
+    """Smallest shape exercising the lv kernel's extra chunk appends: L=80
+    allows a 79-zero run -> 5 chains, one more than a 55-bit group carries
+    (ops/pallas_kernels.py:_encode_stream_lv_kernel n_sub=1).  The full
+    multi-pattern L=144 sweep is gated (interpret traces ~1 s per slot)."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("JPEG_TPU_ENC_LV", "1")
+    monkeypatch.setattr(PK, "ENC_TILE", 16)
+    L = 80
+    lv = np.zeros((3, L), np.int32)
+    lv[0, L - 1] = 5                           # maximal 79-zero run
+    lv[1, 0] = -3                              # all-trailing-zero block
+    want = NC.encode_levels(lv)
+    buf, bb = jax.jit(DC.encode_stream)(jnp.asarray(lv))
+    buf, total = np.asarray(buf), int(np.asarray(bb).sum())
+    assert buf[:total].tobytes() == want and not buf[total:].any()
+
+
+@pytest.mark.slow
 def test_lv_kernel_long_runs(monkeypatch):
     """Zero-runs longer than 74 need > 4 chain bytes — more than a 55-bit
     funnel group carries.  The lv kernel splits them into static extra
@@ -122,6 +156,7 @@ def test_lv_kernel_long_runs(monkeypatch):
     assert buf[:total].tobytes() == want and not buf[total:].any()
 
 
+@pytest.mark.slow
 def test_lv_kernel_matches_tables_path(monkeypatch):
     """For L <= 75 the in-kernel unit groups must reproduce the XLA-tables
     path bit for bit (rows AND block bytes)."""
@@ -143,11 +178,32 @@ def test_lv_kernel_matches_tables_path(monkeypatch):
         assert np.array_equal(np.asarray(r1), np.asarray(r0))
 
 
+def test_lv_kernel_matches_tables_path_smoke(monkeypatch):
+    """One small-L lv-vs-tables equivalence case in the default run (the
+    L=64 cases cost a ~25 s interpret trace each; full sweep gated, and the
+    on-chip suite covers the compiled L=64 kernels directly)."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    L = 16
+    lv = np.zeros((70, L), np.int32)
+    mask = RNG.random(lv.shape) < 0.3
+    lv[mask] = RNG.integers(-16383, 16384, int(mask.sum()))
+    W = DC.encode_words_full(L)
+    r1, b1 = jax.jit(
+        lambda x: PK.encode_stream_rows_lv(x, W))(jnp.asarray(lv))
+    cb, vh, vl, b0 = jax.jit(DC._unit_groups)(jnp.asarray(lv))
+    r0 = jax.jit(
+        lambda a, b, c: PK.encode_stream_rows(a, b, c, W))(cb, vh, vl)
+    assert np.array_equal(np.asarray(b1), np.asarray(b0))
+    assert np.array_equal(np.asarray(r1), np.asarray(r0))
+
+
 def test_merge_kernel_in_encode_stream(monkeypatch):
     """encode_stream routes through the kernel merge on the Pallas path;
     bytes must equal the host codec."""
     monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
-    lv = np.zeros((700, 64), np.int32)
+    lv = np.zeros((140, 64), np.int32)
     mask = RNG.random(lv.shape) < 0.2
     lv[mask] = RNG.integers(-8000, 8000, int(mask.sum()))
     want = NC.encode_levels(lv)
