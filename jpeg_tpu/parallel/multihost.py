@@ -123,3 +123,108 @@ def compress_plane_distributed(plane, config: Configuration,
         last_start = int(meta[p, 0])
         parts.append(streams[p, :int(meta[p, 1])].tobytes())
     return sharded.stitch_streams(parts)
+
+
+_DIST_FNS: dict = {}
+
+
+def decompress_plane_distributed(stream: bytes, config: Configuration,
+                                 mesh=None) -> np.ndarray:
+    """Distributed decode dual of :func:`compress_plane_distributed`
+    (reference decode stack: pipeline/__init__.py:79-88, decompress.py:5-10).
+
+    Args:
+      stream: the FULL band stream, present on every host — exactly how
+        :func:`compress_plane_distributed` ends (every host materializes
+        the stitched stream; compressed bytes are the cheapest thing to
+        replicate across DCN).
+    Returns:
+      this host's contiguous share of the reconstructed plane rows (the
+      whole plane when the geometry forces replication), bit-equal to the
+      serial decoder's corresponding rows.
+
+    Each host scans the stream ONCE in the O(bytes) GIL-releasing scanner
+    (duplicated across hosts, never exchanged — rescanning locally is
+    cheaper than shipping offsets over DCN for any realistic stream), then
+    uploads ONLY its own devices' contiguous block slices
+    (sharded._shard_stream_slices); the lockstep bit parse runs under
+    ``shard_map`` and the IDCT stays row-band sharded.
+    """
+    nproc = jax.process_count()
+    if mesh is None:
+        mesh = global_mesh()
+    if nproc <= 1:
+        return sharded.decompress_plane(stream, config, mesh)
+
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ..entropy import device_codec as DC
+
+    nb, L = config.num_blocks, config.dct_size ** 2
+    scan = entropy.scan_offsets(stream, nb, L)     # validates the stream
+    flatm = Mesh(mesh.devices.reshape(-1), (mesh_lib.BAND_AXIS,))
+    ndev = int(flatm.devices.size)
+    slices, local_starts = sharded._shard_stream_slices(
+        [stream], [scan], ndev)
+    bucket_bb = DC.bucket_block_bytes(
+        L, DC.max_block_bytes_of(scan, len(stream)))
+
+    # Host-local rows of the per-device slice tables, contiguous in mesh
+    # order (same process-contiguity requirement as the encode path).
+    pidx = jax.process_index()
+    mine = [k for k, d in enumerate(flatm.devices.flat)
+            if d.process_index == pidx]
+    if mine != list(range(mine[0], mine[0] + len(mine))):
+        raise ValueError(
+            "this process's devices are not contiguous in mesh order; use "
+            "a process-contiguous device mesh")
+    spec = P(mesh_lib.BAND_AXIS, None)
+    lo, hi = mine[0], mine[0] + len(mine)
+    g_slices = multihost_utils.host_local_array_to_global_array(
+        slices[lo:hi], flatm, spec)
+    g_starts = multihost_utils.host_local_array_to_global_array(
+        local_starts[lo:hi], flatm, spec)
+
+    dt = np.dtype(band_ops.default_dtype())
+    pal = sharded._mesh_pallas(flatm, dt, config.transform)
+    key = band_ops.config_key(config)
+    cache_key = (key, dt.name, flatm, slices.shape, local_starts.shape,
+                 pal, bucket_bb)
+    fn = _DIST_FNS.get(cache_key)
+    if fn is None:
+        decode_one = band_ops.make_decode(key, dt.name, pal)
+        lv_sh = NamedSharding(flatm, mesh_lib.fit_spec(
+            (nb, L), flatm, spec))
+        out_sh = NamedSharding(flatm, mesh_lib.fit_spec(
+            (config.height, config.width), flatm, spec))
+
+        def parse_local(sl, st):
+            return DC.decode_stream(sl[0], st[0], L, bucket_bb)[None]
+
+        def step(sl, st):
+            lv = jax.shard_map(parse_local, mesh=flatm,
+                               in_specs=(spec, spec),
+                               out_specs=P(mesh_lib.BAND_AXIS, None, None)
+                               )(sl, st)
+            levels = jax.lax.with_sharding_constraint(
+                lv.reshape(-1, L)[:nb], lv_sh)
+            return decode_one(levels)
+
+        fn = jax.jit(step, out_shardings=out_sh)
+        _DIST_FNS[cache_key] = fn
+    plane = fn(g_slices, g_starts)
+
+    # Host-local rows out, deduplicated (a replicated plane appears once
+    # per device at row 0) and checked contiguous — mirror of the encode
+    # path's shard handling.
+    seen = {}
+    for sh in plane.addressable_shards:
+        seen.setdefault(sh.index[0].start or 0, np.asarray(sh.data))
+    shards = sorted(seen.items())
+    expect = shards[0][0]
+    for start, data in shards:
+        if start != expect:
+            raise ValueError(
+                "this host's plane shards are not contiguous in row order")
+        expect = start + data.shape[0]
+    return np.concatenate([d for _, d in shards], axis=0)

@@ -54,6 +54,10 @@ def main():
         stream = multihost.compress_plane_distributed(local, cfg, mesh)
         with open(os.path.join(outdir, f"stream_{name}_{pid}.bin"), "wb") as f:
             f.write(stream)
+        # Decode dual: full stream in (every host holds it after the
+        # stitch), host-local reconstructed rows out.
+        local_rows = multihost.decompress_plane_distributed(stream, cfg, mesh)
+        np.save(os.path.join(outdir, f"rows_{name}_{pid}.npy"), local_rows)
     print("child done", pid, flush=True)
 
 

@@ -74,3 +74,16 @@ def test_two_process_distributed_stitch(tmp_path):
         # byte-equal to the serial single-device encode
         assert streams[0] == streams[1], f"{name}: processes disagree"
         assert streams[0] == want, f"{name}: stitched != serial bytes"
+
+        # decode dual: each process's host-local rows reassemble into the
+        # serial decoder's plane byte-for-byte
+        want_plane = api.decompress_band(want, cfg)
+        rows = [np.load(tmp_path / f"rows_{name}_{pid}.npy")
+                for pid in range(nproc)]
+        if rows[0].shape[0] == want_plane.shape[0]:
+            # geometry forced replication: every host returns the plane
+            for r in rows:
+                np.testing.assert_array_equal(r, want_plane)
+        else:
+            got = np.concatenate(rows, axis=0)
+            np.testing.assert_array_equal(got, want_plane), name

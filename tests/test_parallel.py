@@ -366,3 +366,16 @@ def test_shard_stream_slices_uneven_blocks():
     # the dummy block's slice byte is 0x00 = immediate EOB
     k, j = 7, 1
     assert slices[k, local[k, j]] == 0
+
+
+def test_decompress_plane_distributed_single_process():
+    """Single process: the distributed decode dual degenerates to the
+    sharded plane decode, byte-equal to the serial decoder."""
+    from jpeg_tpu import api
+    from jpeg_tpu.parallel import multihost
+    cfg = _cfg(64, 48, block_size=2)
+    plane = RNG.integers(0, 256, (48, 64)).astype(int)
+    stream = api.compress_band(plane, cfg)
+    mesh = parallel.make_mesh(8)
+    got = multihost.decompress_plane_distributed(stream, cfg, mesh)
+    np.testing.assert_array_equal(got, api.decompress_band(stream, cfg))
