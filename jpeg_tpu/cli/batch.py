@@ -146,21 +146,26 @@ def run_decompress(indir: str, outdir: str, args) -> Metrics:
             metrics.failures += 1
 
     from PIL import Image
-    t0 = time.perf_counter()
-    idx = 0
-    # decompress_many is an iterator-friendly pipeline, but a corrupt blob
-    # must not abort the batch: decode one-group-at-a-time with fallback.
-    try:
-        imgs = decompress_many(blobs)
-    except Exception:  # noqa: BLE001 — fall back to per-blob isolation
-        imgs = []
-        for (p, _out), blob in zip(items, blobs):
-            try:
-                imgs.append(decompress_many([blob])[0])
-            except Exception as e:  # noqa: BLE001
+
+    # A corrupt blob must not abort the batch, but restarting per-blob
+    # would re-decode every good blob serially.  Bisect instead: a failing
+    # group splits in half, so one bad blob costs O(log n) extra pipelined
+    # passes and every good blob keeps the pipelining.
+    def _decode_group(group_blobs, group_items):
+        try:
+            return decompress_many(group_blobs)
+        except Exception as e:  # noqa: BLE001
+            if len(group_blobs) == 1:
+                p = group_items[0][0]
                 print(f"SKIP {p}: corrupt container: {e}", file=sys.stderr)
-                imgs.append(None)
                 metrics.failures += 1
+                return [None]
+            mid = len(group_blobs) // 2
+            return (_decode_group(group_blobs[:mid], group_items[:mid])
+                    + _decode_group(group_blobs[mid:], group_items[mid:]))
+
+    t0 = time.perf_counter()
+    imgs = _decode_group(blobs, items)
     dt = time.perf_counter() - t0
     n_ok = sum(1 for im in imgs if im is not None)
     for (p, out), arr in zip(items, imgs):
@@ -171,7 +176,6 @@ def run_decompress(indir: str, outdir: str, args) -> Metrics:
                           os.path.getsize(p), dt / max(1, n_ok), None)
         if args.verbose:
             print(f"OK {p} -> {out}", file=sys.stderr)
-        idx += 1
     return metrics
 
 

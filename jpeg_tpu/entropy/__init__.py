@@ -67,6 +67,9 @@ def decode_levels(data: bytes, num_blocks: int, L: int) -> np.ndarray:
     return numpy_codec.decode_levels(data, num_blocks, L)
 
 
+_warned_python_scan = False
+
+
 def scan_offsets(data: bytes, num_blocks: int, L: int) -> np.ndarray:
     """Validate a band stream and return each block's start byte offset.
 
@@ -77,4 +80,14 @@ def scan_offsets(data: bytes, num_blocks: int, L: int) -> np.ndarray:
     nat = _get_native()
     if nat is not None:
         return nat.scan_offsets(data, num_blocks, L)
+    global _warned_python_scan
+    if not _warned_python_scan and len(data) > (1 << 20):
+        _warned_python_scan = True
+        import warnings
+        warnings.warn(
+            "entropy: C++ scanner unavailable — falling back to the "
+            "pure-Python boundary scan (one interpreted step per code; "
+            "expect seconds of host time per multi-MP image). Install a "
+            "C++ compiler or unset JPEG_TPU_NO_NATIVE for the fast path.",
+            RuntimeWarning, stacklevel=2)
     return numpy_codec.scan_offsets(data, num_blocks, L)

@@ -72,12 +72,14 @@ def subsample(a, block_size: int):
 def subsample_fast(a, block_size: int):
     """f32 fast-path mean-pool with a FIXED evaluation order.
 
-    Explicit left-associated strided adds then a reciprocal multiply —
-    exactly the expression the fused Mosaic encode kernel uses
-    (ops/pallas_kernels.py:encode_plane), so the XLA fallback and the
-    kernel stay bit-identical in f32.  Parity (f64) mode keeps
-    :func:`subsample`'s sum-then-true-divide, which matches the reference
-    bitwise; the f32 path never promises reference bit parity.
+    Explicit left-associated strided adds then a reciprocal multiply.
+    Subsampling always runs in XLA *before* the transform kernel
+    (ops/band.py dispatches here and then calls
+    ops/pallas_kernels.py:encode_blocks on both the XLA and Pallas
+    paths), so pinning the add order here is what keeps those two paths
+    bit-identical in f32.  Parity (f64) mode keeps :func:`subsample`'s
+    sum-then-true-divide, which matches the reference bitwise; the f32
+    path never promises reference bit parity.
     """
     _check_2d(a)
     h, w = a.shape
