@@ -321,17 +321,34 @@ def compress_many(images, config: Configuration, dtype=None,
     dt, pal = _dt_and_pallas(config, dtype)
     states: deque = deque()
     out = []
-    for img in images:
-        if len(states) >= depth:
-            out.append(_finish_compress(states.popleft(), config))
-        states.append(_start_compress(img, config, dt, pal))
-        if len(states) >= 2:
-            # Advance the previous image (stats pull + phase-2 dispatch for
-            # the sized path) AFTER dispatching this one's upload, so the
-            # 20-byte sync overlaps the new image's transfer + transform.
-            states[-2] = _advance_compress(states[-2], config)
-    while states:
-        out.append(_finish_compress(states.popleft(), config))
+    # The result pull (_finish_compress) blocks on a d2h transfer; run it on
+    # a single worker so the main thread keeps uploading/dispatching the next
+    # image while the previous one's bytes stream back.  One worker keeps
+    # pulls ordered; `depth` still bounds in-flight device buffers.
+    # Invariant: every deque entry except possibly the newest is a worker
+    # future resolving to bytes; the newest may be a raw (unadvanced) state.
+    with ThreadPoolExecutor(max_workers=1) as puller:
+        def resolve(item) -> bytes:
+            bytes_or_state = item.result() if hasattr(item, "result") else item
+            if isinstance(bytes_or_state, bytes):
+                return bytes_or_state
+            return _finish_compress(bytes_or_state, config)
+
+        for img in images:
+            if len(states) >= depth:
+                out.append(resolve(states.popleft()))
+            state = _start_compress(img, config, dt, pal)
+            if states:
+                # Advance the previous image (stats pull + phase-2 dispatch
+                # for the sized path) AFTER dispatching this one's upload, so
+                # the 20-byte sync overlaps the new transfer + transform;
+                # then hand its blocking byte pull to the worker.
+                prev = states.pop()
+                states.append(puller.submit(
+                    _finish_compress, _advance_compress(prev, config), config))
+            states.append(state)
+        while states:
+            out.append(resolve(states.popleft()))
     return out
 
 
@@ -361,21 +378,28 @@ def _start_decompress(bytestream: bytes, dtype):
             and pow2_cap(total) * 8 < DC._CAP_BITS):
         nb, L = config.num_blocks, config.dct_size ** 2
         streams = [data.y, data.cb, data.cr]
-        starts, off, max_bb = [], 0, 0
-        for s in streams:
-            sc = entropy.scan_offsets(s, nb, L)
-            starts.append(sc + off)
-            off += len(s)
-            max_bb = max(max_bb, DC.max_block_bytes_of(sc, len(s)))
         buf = b"".join(streams)
         pad = pow2_cap(len(buf))
         arr = np.zeros(pad, np.uint8)
         arr[:len(buf)] = np.frombuffer(buf, np.uint8)
+        # Kick the stream upload off FIRST (device_put is async), then run
+        # the serial O(bytes) boundary scans while the bytes are in flight —
+        # one band per thread (the C++ scanner releases the GIL), so the
+        # host-side prelude and the h2d transfer overlap instead of stacking.
+        arr_dev = jax.device_put(arr)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            scans = list(pool.map(
+                lambda s: entropy.scan_offsets(s, nb, L), streams))
+        starts, off, max_bb = [], 0, 0
+        for s, sc in zip(streams, scans):
+            starts.append(sc + off)
+            off += len(s)
+            max_bb = max(max_bb, DC.max_block_bytes_of(sc, len(s)))
         # Bucketed longest-block width sizes the decode word-row gather;
         # serial decompress_to_ycbcr shares this code (and executable).
         fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad,
                                 DC.bucket_block_bytes(L, max_bb))
-        return fn(arr, np.concatenate(starts))
+        return fn(arr_dev, np.concatenate(starts))
     nb, L = config.num_blocks, config.dct_size ** 2
     with ThreadPoolExecutor(max_workers=3) as pool:
         levels = list(pool.map(
@@ -394,12 +418,20 @@ def decompress_many(blobs, dtype=None, depth: int = 2) -> list:
         raise ValueError(f"depth must be >= 1, got {depth}")
     pending: deque = deque()
     out = []
-    for blob in blobs:
-        if len(pending) >= depth:
-            out.append(np.asarray(pending.popleft()).transpose(1, 2, 0))
-        pending.append(_start_decompress(blob, dtype))
-    while pending:
-        out.append(np.asarray(pending.popleft()).transpose(1, 2, 0))
+
+    def pull(planes):
+        return np.asarray(planes).transpose(1, 2, 0)
+
+    # Plane pulls block on a 3*H*W d2h transfer; a single worker keeps them
+    # ordered while the main thread runs the next blob's host boundary scan
+    # and device dispatch under the previous blob's download.
+    with ThreadPoolExecutor(max_workers=1) as puller:
+        for blob in blobs:
+            if len(pending) >= depth:
+                out.append(pending.popleft().result())
+            pending.append(puller.submit(pull, _start_decompress(blob, dtype)))
+        while pending:
+            out.append(pending.popleft().result())
     return out
 
 

@@ -252,10 +252,14 @@ def decompress_plane(data: bytes, config: Configuration, mesh,
     if device_entropy:
         from ..entropy import device_codec as DC
         from ..utils.device import pow2_cap
-        starts = entropy.scan_offsets(data, nb, L)     # validates the stream
         pad = pow2_cap(len(data))
         arr = np.zeros(pad, np.uint8)
         arr[:len(data)] = np.frombuffer(data, np.uint8)
+        # Start the (replicated) stream upload before the serial boundary
+        # scan: device_put is async, so the h2d transfer rides under the
+        # O(bytes) host scan instead of serializing after it.
+        arr_dev = jax.device_put(arr, NamedSharding(flat, P()))
+        starts = entropy.scan_offsets(data, nb, L)     # validates the stream
         bucket_bb = DC.bucket_block_bytes(
             L, DC.max_block_bytes_of(starts, len(data)))
         cache_key = ("dec_plane_stream", key, dt.name, flat, pad, pal,
@@ -277,7 +281,7 @@ def decompress_plane(data: bytes, config: Configuration, mesh,
             fn = jax.jit(step, in_shardings=(NamedSharding(flat, P()),
                                              NamedSharding(flat, P())))
             _PLANE_FNS[cache_key] = fn
-        return np.asarray(fn(arr, starts.astype(np.int32)))
+        return np.asarray(fn(arr_dev, starts.astype(np.int32)))
 
     # Host entropy decode (C++/NumPy), then the sharded IDCT path.
     levels = entropy.decode_levels(bytes(data), nb, L)
