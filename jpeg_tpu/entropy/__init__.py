@@ -77,6 +77,12 @@ def scan_offsets(data: bytes, num_blocks: int, L: int) -> np.ndarray:
     consumes the offsets).  C++ scanner when available, else the pure-Python
     word-window scanner — so the TPU decode path works without a compiler.
     """
+    if os.environ.get("JPEG_TPU_DEVICE_SCAN"):
+        # Opt-in: speculative per-byte parse + pointer-doubling join on the
+        # accelerator — removes the host from the decode path entirely
+        # (identical results/errors; see entropy/device_scan.py).
+        from .device_scan import scan_offsets_hybrid
+        return scan_offsets_hybrid(data, num_blocks, L)
     nat = _get_native()
     if nat is not None:
         return nat.scan_offsets(data, num_blocks, L)
