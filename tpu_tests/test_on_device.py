@@ -233,3 +233,21 @@ def test_merge_kernel_matches_xla_on_chip():
         lambda r, l: DC._merge_rows_device(r, l, m))(rows, jnp.asarray(lens))
     np.testing.assert_array_equal(np.asarray(want_l), np.asarray(got_l))
     np.testing.assert_array_equal(np.asarray(want_u), np.asarray(got_u))
+
+
+def test_device_scan_on_chip():
+    """Compiled device boundary scan == C++ scan, and the hybrid dispatch
+    decodes end-to-end under the flag (entropy/device_scan.py)."""
+    from jpeg_tpu import entropy
+    from jpeg_tpu.entropy import device_scan as DS
+    rng = np.random.default_rng(11)
+    nb, L = 700, 64
+    lv = np.zeros((nb, L), np.int32)
+    m = rng.random(lv.shape) < 0.15
+    lv[m] = rng.integers(-2000, 2000, int(m.sum()))
+    data = entropy.encode_levels(lv)
+    starts, ok = DS.scan_offsets_device(data, nb, L)
+    assert ok
+    np.testing.assert_array_equal(starts, entropy.scan_offsets(data, nb, L))
+    _, ok_bad = DS.scan_offsets_device(data[:-1], nb, L)
+    assert not ok_bad
