@@ -41,7 +41,10 @@ from jpeg_tpu import entropy  # noqa: E402
 from jpeg_tpu.entropy import device_codec as DC  # noqa: E402
 from jpeg_tpu.ops import band as band_ops  # noqa: E402
 
-K1, K2 = 2, 10
+# Chain depths: deeper K2 buys signal-to-noise on sub-0.3 ms stages at the
+# cost of compile+run time (tunnel RTT jitter is ~0.5-1 ms per fenced call).
+K1 = int(os.environ.get("CHAIN_K1", "2"))
+K2 = int(os.environ.get("CHAIN_K2", "10"))
 
 
 def _wall_once(fn, *args) -> float:
@@ -90,10 +93,10 @@ def main() -> None:
           f"blocks={3 * nb} L={L} pallas={pal} chain {K1}->{K2}",
           file=sys.stderr)
 
-    enc = band_ops.make_encode(key, dt.name, pal)
+    enc = band_ops.make_encode_batch(key, dt.name, pal)
     dec = band_ops.make_decode(key, dt.name, pal)
     pl_d = jax.device_put(planes)
-    levels = np.asarray(jax.jit(jax.vmap(enc))(pl_d)).reshape(-1, L)
+    levels = np.asarray(jax.jit(enc)(pl_d)).reshape(-1, L)
     stream = entropy.encode_levels(levels)
     starts = entropy.scan_offsets(stream, 3 * nb, L)
     from jpeg_tpu.utils.device import pow2_cap
@@ -160,7 +163,7 @@ def main() -> None:
         return jnp.minimum(jnp.min(jnp.abs(x)).astype(jnp.int32), 0)
 
     def coeff_enc(p):
-        lv = jax.vmap(enc)(p)
+        lv = enc(p)
         return p + dep(lv).astype(dtp)
 
     record("coeff_enc", marginal(coeff_enc, pl_d), plane_b + levels_b)
@@ -174,7 +177,7 @@ def main() -> None:
     record("entropy_enc", marginal(ent_enc, lv_d), levels_b + stream_b + bb_b)
 
     def fused_enc(p):
-        lv = jax.vmap(enc)(p)
+        lv = enc(p)
         buf, bb, mx = DC.encode_bands_stream(
             lv.reshape(-1, L), 3)
         return p + (dep(buf) + dep(bb) + dep(mx)).astype(dtp)
@@ -195,7 +198,7 @@ def main() -> None:
     assert got_sz[:len(stream)].tobytes() == stream, "sized encode mismatch"
 
     def enc_phase1(p):
-        lv = jax.vmap(enc)(p).reshape(-1, L)
+        lv = enc(p).reshape(-1, L)
         b = DC.block_bytes_of(lv)
         return p + (dep(lv) + dep(b)).astype(dtp)
 

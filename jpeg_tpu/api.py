@@ -46,10 +46,10 @@ def _encode3_fn(key, dtype_name: str, use_pallas: bool):
     reference util.py:162-174) with a device-computed max |level| so the host
     can reject unrepresentable streams before the narrowing loses anything.
     """
-    enc = _band.make_encode(key, dtype_name, use_pallas)
+    enc = _band.make_encode_batch(key, dtype_name, use_pallas)
 
     def f(bands):
-        levels = jax.vmap(enc)(bands)
+        levels = enc(bands)
         mx = jnp.max(jnp.abs(levels))
         return levels.astype(jnp.int16), mx.astype(jnp.int32)
 
@@ -77,10 +77,10 @@ def _encode3_stream_fn(key, dtype_name: str, use_pallas: bool):
     typically 5-40x smaller than the coefficient levels.
     """
     from .entropy import device_codec as DC
-    enc = _band.make_encode(key, dtype_name, use_pallas)
+    enc = _band.make_encode_batch(key, dtype_name, use_pallas)
 
     def f(bands):
-        levels = jax.vmap(enc)(bands)                  # (3, N, L)
+        levels = enc(bands)                            # (3, N, L)
         flat = levels.reshape(-1, levels.shape[-1])
         return DC.encode_bands_stream(flat, 3)
 
@@ -101,10 +101,10 @@ def _encode3_levels_stats_fn(key, dtype_name: str, use_pallas: bool):
     data instead of the 23-bit/coefficient worst case.
     """
     from .entropy import device_codec as DC
-    enc = _band.make_encode(key, dtype_name, use_pallas)
+    enc = _band.make_encode_batch(key, dtype_name, use_pallas)
 
     def f(bands):
-        levels = jax.vmap(enc)(bands)                  # (3, N, L)
+        levels = enc(bands)                            # (3, N, L)
         flat = levels.reshape(-1, levels.shape[-1])
         bb = DC.block_bytes_of(flat)
         band_bytes = jnp.sum(bb.reshape(3, -1), axis=-1)
@@ -142,10 +142,10 @@ def _encode3_stream_chunked_fn(key, dtype_name: str, use_pallas: bool,
 
     ``chunk_blocks`` keys the cache so a changed cap retraces."""
     from .entropy import device_codec as DC
-    enc = _band.make_encode(key, dtype_name, use_pallas)
+    enc = _band.make_encode_batch(key, dtype_name, use_pallas)
 
     def f(bands):
-        levels = jax.vmap(enc)(bands)                  # (3, N, L)
+        levels = enc(bands)                            # (3, N, L)
         flat = levels.reshape(-1, levels.shape[-1])
         bufs, blk_bytes = DC.encode_stream_chunks(flat)
         band_bytes = jnp.sum(blk_bytes.reshape(3, -1), axis=-1)

@@ -95,10 +95,39 @@ def make_encode(key: Tuple, dtype_name: str,
                  and (h // bs) % d == 0 and (w // bs) % d == 0)
     combined = (transform in ("DCT", "DFT") and divisible
                 and dtype != jnp.float64)
-    if combined:
+    # DCT factors separably ((A@S) kron (A@S)), so the combined map runs as
+    # two chained single-axis contractions that never materialize the
+    # blockify transpose (7-8x over the joint dot, benchmarks/
+    # probe_coeff2.py).  DFT's real-part operator is a difference of two
+    # kron products, so it keeps the joint dot.
+    separable = combined and transform == "DCT"
+    if separable:
+        fac = T.separable_encode_factor(d, bs)               # (d, D)
+        zzp = np.asarray(T.zigzag_permutation(d), np.int32)
+    elif combined:
         op2 = T.combined_encode_operator(d, bs, transform)   # (L, D*D)
 
     def f(band):
+        if separable:
+            D = d * bs
+            ft = jnp.asarray(fac.T, jnp.float32)             # (D, d)
+            # Batch-polymorphic: (H, W) or (B, H, W) — the leading reshape
+            # merges any band batch into the row-group axis, which is WHY
+            # this path is fast (a vmapped/batched dot_general loses the
+            # layout win: 8x slower, benchmarks/probe_coeff2.py enc_g).
+            x = band.astype(jnp.float32).reshape(-1, D, w)
+            # stage 1: contract the D pixel-row axis; the full image width
+            # stays minor/contiguous so XLA feeds the MXU without a copy
+            t1 = jax.lax.dot_general(
+                x, ft, (((1,), (0,)), ((), ())),
+                precision=T._mm_precision())                 # (B*NV, W, r)
+            t1 = t1.reshape(-1, w // D, D, d)
+            t2 = jax.lax.dot_general(
+                t1, ft, (((2,), (0,)), ((), ())),
+                precision=T._mm_precision())               # (B*NV, NH, r, c)
+            coeffs = jnp.take(t2.reshape(-1, L), jnp.asarray(zzp), axis=1)
+            levels = Q.quantize(coeffs, method, d)
+            return levels.astype(jnp.int32)
         if combined:
             D = d * bs
             op4 = jnp.asarray(op2.T.reshape(D, D, L), jnp.float32)
@@ -152,7 +181,29 @@ def make_encode(key: Tuple, dtype_name: str,
         levels = Q.quantize(coeffs, method, d)
         return levels.astype(jnp.int32)
 
+    f.separable = separable
     return f
+
+
+def make_encode_batch(key: Tuple, dtype_name: str,
+                      use_pallas: bool = False) -> Callable:
+    """(B, H, W) band batch -> (B, num_blocks, L) levels.
+
+    The separable fast path is batch-polymorphic (its leading reshape
+    absorbs the band axis), so batches go through UNBATCHED dot_generals —
+    a vmapped dot_general forces a batched contraction layout that costs
+    8x (benchmarks/probe_coeff2.py, enc_g vs enc_f).  Non-separable
+    configs fall back to vmap.
+    """
+    enc = make_encode(key, dtype_name, use_pallas)
+    if not getattr(enc, "separable", False):
+        return jax.vmap(enc)
+
+    def g(bands):
+        lv = enc(bands)
+        return lv.reshape(bands.shape[0], -1, lv.shape[-1])
+
+    return g
 
 
 @functools.lru_cache(maxsize=None)

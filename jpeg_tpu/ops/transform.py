@@ -130,6 +130,29 @@ def combined_encode_operator(d: int, bs: int,
 
 
 @functools.lru_cache(maxsize=None)
+def separable_encode_factor(d: int, bs: int) -> np.ndarray:
+    """(d, d*bs) separable factor ``F`` of the DCT combined encode
+    operator: ``combined_encode_operator(d, bs, "DCT") == (F kron F)[zz]``
+    because the 2-D mean-pool factors as ``S kron S`` and the 2-D DCT as
+    ``A kron A``, so ``(A@S) kron (A@S)`` is the whole pixel->coefficient
+    map; zigzag stays a static permutation of the (r, c) row-major result.
+
+    Two chained single-axis contractions with this factor avoid the
+    blockify transpose the jointly-contracted operator forces XLA to
+    materialize: stage 1 contracts pixel rows with the full image width
+    contiguous/minor (measured 7-8x over the joint dot at 4.2 MP,
+    benchmarks/probe_coeff2.py).  f32 summation order differs from the
+    joint dot, so this is a fast-path-only form (parity mode keeps the
+    reference-order host transform).
+    """
+    D = d * bs
+    sub = np.zeros((d, D), dtype=np.float64)
+    for p in range(d):
+        sub[p, p * bs:(p + 1) * bs] = 1.0 / bs
+    return dct_matrix(d) @ sub
+
+
+@functools.lru_cache(maxsize=None)
 def combined_decode_operator(d: int, bs: int,
                              transform: str = "DCT") -> np.ndarray:
     """((d*bs)^2, d*d) operator fusing dezigzag+IDCT with the

@@ -56,10 +56,10 @@ def _batch_encode_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
     cache_key = (key, dtype_name, mesh, shape, use_pallas, with_stats)
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
-        encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
+        encode_one = band_ops.make_encode_batch(key, dtype_name, use_pallas)
 
         def step(bands):
-            levels = jax.vmap(encode_one)(bands)
+            levels = encode_one(bands)
             if not with_stats:
                 return levels
             # Global reduction over all shards -> XLA all-reduce on the mesh.
@@ -306,10 +306,10 @@ def _batch_stream_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
         from ..entropy import device_codec as DC
-        encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
+        encode_one = band_ops.make_encode_batch(key, dtype_name, use_pallas)
 
         def step(bands):
-            levels = jax.vmap(encode_one)(bands)          # (B, N, L)
+            levels = encode_one(bands)          # (B, N, L)
             flat = levels.reshape(-1, levels.shape[-1])
             return DC.encode_bands_stream(flat, bands.shape[0])
 
@@ -331,10 +331,10 @@ def _batch_levels_stats_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
         from ..entropy import device_codec as DC
-        encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
+        encode_one = band_ops.make_encode_batch(key, dtype_name, use_pallas)
 
         def step(bands):
-            levels = jax.vmap(encode_one)(bands)          # (B, N, L)
+            levels = encode_one(bands)          # (B, N, L)
             flat = levels.reshape(-1, levels.shape[-1])
             bb = DC.block_bytes_of(flat)
             band_bytes = jnp.sum(bb.reshape(bands.shape[0], -1), axis=-1)
@@ -372,10 +372,10 @@ def _batch_stream_chunked_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
         from ..entropy import device_codec as DC
-        encode_one = band_ops.make_encode(key, dtype_name, use_pallas)
+        encode_one = band_ops.make_encode_batch(key, dtype_name, use_pallas)
 
         def step(bands):
-            levels = jax.vmap(encode_one)(bands)          # (B, N, L)
+            levels = encode_one(bands)          # (B, N, L)
             flat = levels.reshape(-1, levels.shape[-1])
             bufs, blk_bytes = DC.encode_stream_chunks(flat)
             band_bytes = jnp.sum(blk_bytes.reshape(bands.shape[0], -1),
