@@ -191,21 +191,24 @@ def main() -> None:
     W = DC.encode_words_bucket(L, int(bb_np.max()))
     cap = DC.encode_cap_bucket(int(bb_np.sum()),
                                levels.shape[0] * DC.worst_case_block_bytes(L))
+    mu = int(jax.jit(DC.min_unit_bytes_of)(jnp.asarray(bb_np)))
+    G = DC.gather_group_bucket(mu, levels.shape[0], W)
     print(f"sized buckets: W={W} (full {DC.encode_words_full(L)}) "
-          f"cap={cap}", file=sys.stderr)
+          f"cap={cap} G={G}", file=sys.stderr)
     got_sz = np.asarray(jax.jit(
-        lambda lv: DC.encode_stream_sized(lv, W, cap)[0])(lv_d))
+        lambda lv: DC.encode_stream_sized(lv, W, cap, G)[0])(lv_d))
     assert got_sz[:len(stream)].tobytes() == stream, "sized encode mismatch"
 
     def enc_phase1(p):
         lv = enc(p).reshape(-1, L)
         b = DC.block_bytes_of(lv)
-        return p + (dep(lv) + dep(b)).astype(dtp)
+        return p + (dep(lv) + dep(b) + dep(DC.min_unit_bytes_of(b))
+                    ).astype(dtp)
 
     record("enc_phase1", marginal(enc_phase1, pl_d), plane_b + levels_b + bb_b)
 
     def ent_enc_sized(lv):
-        buf, b, _bad = DC.encode_stream_sized(lv, W, cap)
+        buf, b, _bad = DC.encode_stream_sized(lv, W, cap, G)
         return lv + dep(buf) + dep(b)
 
     record("entropy_enc_sized", marginal(ent_enc_sized, lv_d), levels_b + stream_b + bb_b)

@@ -92,13 +92,14 @@ def _encode3_levels_stats_fn(key, dtype_name: str, use_pallas: bool):
     """Phase 1 of the content-sized device encode: coefficient transform +
     stream geometry, levels kept device-resident.
 
-    Returns (levels (3N, L) int32, stats (5,) int32 = [longest block bytes,
-    total stream bytes, band0 bytes, band1 bytes, max |level|]).  The host
-    pulls only the 20-byte stats vector, buckets the entropy-encode shapes
-    (entropy/device_codec.py:encode_words_bucket / encode_cap_bucket) and
-    dispatches phase 2 (:func:`_entropy_sized_fn`) — the funnel kernel,
-    merges and the compaction gather then all run on content-proportional
-    data instead of the 23-bit/coefficient worst case.
+    Returns (levels (3N, L) int32, stats (6,) int32 = [longest block bytes,
+    total stream bytes, band0 bytes, band1 bytes, max |level|, min
+    constraining merge-unit bytes]).  The host pulls only the 24-byte stats
+    vector, buckets the entropy-encode shapes
+    (entropy/device_codec.py:encode_words_bucket / encode_cap_bucket /
+    gather_group_bucket) and dispatches phase 2 (:func:`_entropy_sized_fn`)
+    — the funnel kernel, merges and the compaction gather then all run on
+    content-proportional data instead of the 23-bit/coefficient worst case.
     """
     from .entropy import device_codec as DC
     enc = _band.make_encode_batch(key, dtype_name, use_pallas)
@@ -110,20 +111,21 @@ def _encode3_levels_stats_fn(key, dtype_name: str, use_pallas: bool):
         band_bytes = jnp.sum(bb.reshape(3, -1), axis=-1)
         stats = jnp.stack([
             jnp.max(bb), jnp.sum(bb), band_bytes[0], band_bytes[1],
-            jnp.max(jnp.abs(flat))]).astype(jnp.int32)
+            jnp.max(jnp.abs(flat)), DC.min_unit_bytes_of(bb)]
+        ).astype(jnp.int32)
         return flat, stats
 
     return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)
-def _entropy_sized_fn(W: int, cap: int):
+def _entropy_sized_fn(W: int, cap: int, G: int = 0):
     """Phase 2 of the content-sized device encode: (3N, L) levels ->
-    cap-byte stream buffer at the bucketed row width W."""
+    cap-byte stream buffer at the bucketed row width W and gather group G."""
     from .entropy import device_codec as DC
 
     def f(flat):
-        buf, _, bad = DC.encode_stream_sized(flat, W, cap)
+        buf, _, bad = DC.encode_stream_sized(flat, W, cap, G)
         return buf, bad
 
     return jax.jit(f)
@@ -250,12 +252,13 @@ def _advance_compress(state, config: Configuration):
     if state[0] != "dev_sized":
         return state
     _, L, flat, stats = state
-    max_bb, total, b0, b1, mx = (int(x) for x in np.asarray(stats))
+    max_bb, total, b0, b1, mx, min_unit = (int(x) for x in np.asarray(stats))
     _check_mx(mx)
     W = DC.encode_words_bucket(L, max_bb)
     cap = DC.encode_cap_bucket(
         total, flat.shape[0] * DC.worst_case_block_bytes(L))
-    buf_dev, bad = _entropy_sized_fn(W, cap)(flat)
+    G = DC.gather_group_bucket(min_unit, flat.shape[0], W)
+    buf_dev, bad = _entropy_sized_fn(W, cap, G)(flat)
     return ("dev_sized2", buf_dev, bad, total, b0, b1)
 
 

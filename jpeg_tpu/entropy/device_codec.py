@@ -150,19 +150,31 @@ def encode_words_bucket(L: int, max_block_bytes: int = 0) -> int:
     The funnel kernel's per-append shift cost and the merge/gather data
     volume all scale with the row width, so a typical photographic band
     (longest block ~20-50 bytes vs the 185-byte worst case for L=64) runs
-    the whole entropy encode on 4-6x less data.  Widths are bucketed
-    (multiples of 8 sublanes, ~1.5x steps past 48) to bound the number of
-    compiled programs; 0 means worst case.
+    the whole entropy encode on 4-6x less data.  Widths are bucketed to
+    bound the number of compiled programs: even-word steps to 16, then
+    coarser (multiples of 4/8, ~1.5x past 48); 0 means worst case.  Even
+    widths keep the merge-kernel constraint (2**depth * W) % 128 == 0 for
+    any depth >= 6 — Mosaic handles the non-multiple-of-8 sublane tiles by
+    masking, and a typical photographic band (max block ~40 B -> W=10 vs
+    the old 8-sublane bucket 16) runs the merge on ~40% less data
+    (measured 1.10 -> 0.92 ms for the 4.2 MP sized encode).
     """
     full = encode_words_full(L)
     if max_block_bytes <= 0 or max_block_bytes >= worst_case_block_bytes(L):
         return full
     w = -(-max_block_bytes // 4)
-    b = 8
+    b = 2
     while b < full:
         if w <= b:
             return b
-        b = b + 8 if b < 48 else -(-(b * 3 // 2) // 8) * 8
+        if b < 16:
+            b += 2
+        elif b < 32:
+            b += 4
+        elif b < 48:
+            b += 8
+        else:
+            b = -(-(b * 3 // 2) // 8) * 8
     return full
 
 
@@ -241,6 +253,65 @@ def encode_rows(levels, interpret=None, W: int = 0):
 # worst-case and content-sized shapes.
 MERGE_DEPTH = 9
 GATHER_G = 128
+GATHER_G_MAX = 1024  # ceiling for the content-adaptive group bucket
+
+
+def effective_depth(n: int) -> int:
+    """The merge depth :func:`compact_rows` actually uses for n blocks.
+
+    Small batches don't amortize deep merges (unit padding to 2**m blocks
+    would dominate), so the depth scales down at trace time — exposed so
+    phase-1 stats programs (:func:`min_unit_bytes_of`) bucket against the
+    SAME unit boundaries the compaction will use.
+    """
+    m = MERGE_DEPTH
+    while m > 6 and (1 << m) > 2 * max(n, 1):
+        m -= 1
+    return m
+
+
+def min_unit_bytes_of(blk_bytes):
+    """(N,) int32 per-block bytes -> min byte length over the merge units
+    that CONSTRAIN the compaction gather (scalar int32; 2**30 = none).
+
+    An output group of 4G bytes may contain at most one unit start, so G
+    is bounded by the shortest unit — EXCEPT the last real unit and the
+    all-pad units after it: a group reaching past them reads only
+    past-the-stream bytes, which compact_rows masks/zeroes (see its
+    overlap-extension notes).  Runs in the phase-1 stats program next to
+    :func:`block_bytes_of`; the host buckets G from the pulled scalar
+    (:func:`gather_group_bucket`).
+    """
+    n = blk_bytes.shape[0]
+    u = 1 << effective_depth(n)
+    n_pad = -(-n // u) * u
+    if n_pad != n:
+        blk_bytes = jnp.concatenate(
+            [blk_bytes, jnp.zeros(n_pad - n, blk_bytes.dtype)])
+    ulen = jnp.sum(blk_bytes.reshape(-1, u), axis=-1).astype(jnp.int32)
+    U = ulen.shape[0]
+    idx = jnp.arange(U, dtype=jnp.int32)
+    last = jnp.max(jnp.where(ulen > 0, idx, -1))
+    big = jnp.int32(2 ** 30)
+    return jnp.min(jnp.where((ulen > 0) & (idx < last), ulen, big))
+
+
+def gather_group_bucket(min_unit: int, n_blocks: int, W: int) -> int:
+    """Content-adaptive gather group size (words, power of two).
+
+    Correctness needs 4*G <= the shortest constraining unit (so no output
+    group wholly contains a non-last unit) and (2**depth * W) % G == 0 (so
+    the extended unit rows reshape into whole G-word groups).  Typical
+    photographic units are KBs long where the static content-oblivious
+    bound (2**(depth-2), from 1-byte minimum blocks) allowed only 128 —
+    bigger groups cut the gather index count proportionally.
+    """
+    wu = (1 << effective_depth(n_blocks)) * W
+    g = 1
+    while (2 * g <= GATHER_G_MAX and 8 * g <= min_unit
+           and wu % (2 * g) == 0):
+        g *= 2
+    return g
 
 
 def _shift_rows_right(rows, nbytes, width):
@@ -324,7 +395,7 @@ def _use_merge_kernel(W, depth) -> bool:
         _pallas_decode_enabled()
 
 
-def compact_rows(rows, blk_bytes, L, cap: int = 0):
+def compact_rows(rows, blk_bytes, L, cap: int = 0, G: int = 0):
     """(N, W) per-block stream-word rows -> contiguous stream bytes.
 
     Returns a uint8 buffer of ``cap`` bytes (0 = the static worst case)
@@ -338,19 +409,24 @@ def compact_rows(rows, blk_bytes, L, cap: int = 0):
     far less for the monotonic ids used here), so the design minimizes
     indices: blocks merge pairwise MERGE_DEPTH times (log-depth funnel
     shifts, no gathers) into units long enough that one gather of
-    GATHER_G-word output groups — ids nondecreasing, offsets from two
+    G-word output groups — ids nondecreasing, offsets from two
     small scatters + prefix scans — assembles the stream.
+
+    ``G = 0`` uses the static content-oblivious bound (GATHER_G capped by
+    2**(depth-2): units of 2**depth blocks are >= 2**depth bytes even when
+    every block is a bare EOB).  A nonzero G MUST come from
+    :func:`gather_group_bucket` over this band's own device-computed
+    :func:`min_unit_bytes_of` — a too-large G would mis-attribute output
+    groups that wholly contain a short unit.
     """
     n, W = rows.shape
-    m, G = MERGE_DEPTH, GATHER_G
-    # Small batches don't amortize deep merges (unit padding to 2**m blocks
-    # would dominate); scale down at trace time keeping the invariant
-    # 2**m >= 4*G and G a power of two.  At the floor (6, 16) this matches
-    # the small-batch-tuned configuration.
-    while m > 6 and (1 << m) > 2 * max(n, 1):
-        m -= 1
-    G = min(G, 1 << (m - 2))
+    m = effective_depth(n)
+    if G <= 0:
+        G = min(GATHER_G, 1 << (m - 2))
     u_blocks = 1 << m
+    # Structural: extended unit rows must reshape into whole G-word groups.
+    while G > 1 and (u_blocks * W) % G:
+        G >>= 1
     gb = 4 * G                                    # bytes per output group
     worst = n * worst_case_block_bytes(L)
     if cap > 0:
@@ -368,13 +444,18 @@ def compact_rows(rows, blk_bytes, L, cap: int = 0):
     U, Wu = units.shape
 
     # Overlap extension: append >= 4G bytes of the NEXT unit to each row so
-    # an output group spanning a unit boundary reads valid bytes.  Min unit
-    # = u_blocks >= 4G - 1 bytes, so one successor suffices (an all-pad unit
-    # has length 0, but it can only follow the last real unit, where nothing
-    # past the stream end is read).  ext_w is a multiple of G so rows
-    # reshape into whole G-word groups for the row gather below.
-    head = jnp.concatenate([units[1:, :2 * G],
-                            jnp.zeros((1, 2 * G), units.dtype)], axis=0)
+    # an output group spanning a unit boundary reads valid bytes.  Every
+    # constraining unit is >= 4G bytes (the static 1-byte-per-block bound
+    # for G = 0, min_unit_bytes_of for explicit G), so one successor
+    # suffices (an all-pad or short LAST unit can only be followed by
+    # past-the-stream reads, which are zeros/masked).  ext_w is a multiple
+    # of G so rows reshape into whole G-word groups for the gather below.
+    hw = min(2 * G, Wu)   # a successor shorter than 2G words is taken whole
+    head = jnp.concatenate([units[1:, :hw],
+                            jnp.zeros((1, hw), units.dtype)], axis=0)
+    if hw < 2 * G:
+        head = jnp.concatenate(
+            [head, jnp.zeros((U, 2 * G - hw), units.dtype)], axis=1)
     ext_w = Wu + 2 * G
     ext = jnp.concatenate(
         [units, jnp.zeros((U, 2 * G), units.dtype)], axis=1) | \
@@ -493,14 +574,15 @@ def encode_stream(levels):
     return out.astype(jnp.uint8), blk_bytes
 
 
-def encode_stream_sized(levels, W: int, cap: int):
+def encode_stream_sized(levels, W: int, cap: int, G: int = 0):
     """(N, L) int32 levels -> (bytes_u8[cap], blk_bytes (N,) int32,
     overflowed bool scalar), with the row width and output buffer sized by
     the band's ACTUAL content.
 
-    The caller measures ``max(block_bytes_of(levels))`` and its sum in a
-    first device program (one tiny stats pull), buckets them
-    (:func:`encode_words_bucket` / :func:`encode_cap_bucket`) and traces
+    The caller measures ``max(block_bytes_of(levels))``, its sum and
+    :func:`min_unit_bytes_of` in a first device program (one tiny stats
+    pull), buckets them (:func:`encode_words_bucket` /
+    :func:`encode_cap_bucket` / :func:`gather_group_bucket`) and traces
     this second program at the sized shapes — typically 4-6x less kernel
     and merge data and 5-10x fewer gather indices than the worst case.
     Output bytes are identical to :func:`encode_stream`'s used prefix.
@@ -513,9 +595,21 @@ def encode_stream_sized(levels, W: int, cap: int):
     kernel already computes: on violation the whole buffer is zeroed and
     the returned flag set; hosts must raise via :func:`check_sized_ok`.
     """
+    if G > 0:
+        # Mirror compact_rows' structural clamp so the correctness check
+        # below tests the G the gather actually uses.
+        u = 1 << effective_depth(levels.shape[0])
+        while G > 1 and (u * W) % G:
+            G >>= 1
     rows, blk_bytes = encode_rows(levels, W=W)
-    buf = compact_rows(rows, blk_bytes, levels.shape[-1], cap)
+    buf = compact_rows(rows, blk_bytes, levels.shape[-1], cap, G)
     bad = (jnp.max(blk_bytes) > 4 * W) | (jnp.sum(blk_bytes) > buf.shape[0])
+    if G > 0:
+        # An explicit G certifies 4*G <= every constraining unit; verify it
+        # against the blk_bytes the kernel just computed (same poison
+        # contract as the W/cap checks — gather mis-attribution would
+        # corrupt silently otherwise).
+        bad = bad | (min_unit_bytes_of(blk_bytes) < 4 * G)
     return jnp.where(bad, jnp.uint8(0), buf), blk_bytes, bad
 
 

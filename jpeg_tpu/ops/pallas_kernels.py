@@ -171,7 +171,10 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
         active = done == 0
         wt = widx + run
         store = active & is_code & (wt < L)
-        out = out + jnp.where(store & (cols == wt), amp, 0)
+        # Positions are written at most once (wt strictly increases per
+        # column), so a select beats masked-add by one (L, T) pass — the
+        # out update is the kernel's dominant per-iteration cost.
+        out = jnp.where(store & (cols == wt), amp, out)
         widx = jnp.where(active & is_chain, widx + MAX_RUN,
                          jnp.where(store, wt + 1, widx))
         # Bits consumed: 8 for EOB/chain (+ pad to the byte boundary after
@@ -376,13 +379,17 @@ def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int):
         lv = lv_ref[s:s + 1, :]                   # (1, T) int32
         nz = lv != 0
         absamp = jnp.abs(lv)
-        # size = min(bit_length + 1, 15): bit_length(a>=1) = 1 + #{k>=1:
-        # a >= 2**k}; 13 compares cover every representable amplitude and
-        # the clamp falls out (2 + 13 = 15).
-        cnt = jnp.zeros((1, T), jnp.int32)
-        for k in range(1, MAX_SIZE - 1):
-            cnt = cnt + (absamp >= (1 << k)).astype(jnp.int32)
-        size = cnt + 2
+        # size = min(bit_length + 1, 15) from the f32 exponent field:
+        # |a| < 2**24 converts exactly, so bits>>23 = 127 + floor(log2 a)
+        # and size = (bits>>23) - 125 for a >= 1 (a|1 keeps a = 0 defined;
+        # nz masks it).  Replaces a 13-compare ladder — ~20 fewer VPU ops
+        # per slot.  The clamp matches _geometry's jnp.minimum(.., 15) for
+        # out-of-range content (rejected by callers via the max-|level|
+        # stat before the buffer is used).
+        fb = jax.lax.bitcast_convert_type(
+            (absamp | 1).astype(jnp.float32), jnp.uint32)
+        size = (fb >> 23).astype(jnp.int32) - 125
+        size = jnp.where(size > MAX_SIZE, MAX_SIZE, size)
         run = s - prev - 1
         # run // 15 as an exact magic multiply (2185 = ceil(2**15/15),
         # exact for run < 4681 >> any L)
@@ -555,25 +562,58 @@ def _merge_rows_kernel(v_ref, q_ref, out_ref, *, W: int, depth: int):
     out_ref[0] = v.astype(jnp.int32)
 
 
+MERGE_TARGET_STEPS = 12   # aim for this many grid steps (3-4 us fixed cost
+                          # per step dominated the kernel at 96+ steps)
+MERGE_VMEM_BYTES = 6 << 20  # q-table VMEM budget per grid step
+
+
 def merge_rows_units(v, q, W: int, depth: int, interpret=None):
     """(U, H/128, 128) flat-word unit views + (U, depth, H/128, 128)
-    per-round up-byte tables -> (U, H/128, 128) merged units."""
+    per-round up-byte tables -> (U, H/128, 128) merged units.
+
+    Units STACK along the sublane axis inside one grid step: every segment
+    size (2h <= H words) divides the unit height H, so the kernel's
+    iota-derived same-segment masks treat a (Ub*H/128, 128) stack exactly
+    as Ub independent units — no kernel change.  Measured on chip: the
+    per-grid-step fixed cost is ~3-4 us (a merge-depth sweep read 3.09 ms
+    at 768 steps vs 0.98 ms at 96 for the SAME data), so batching units
+    ~8-16x removes most of what the merge kernel was paying.
+    """
     if interpret is None:
         interpret = _interpret()
     U, Hs, _ = v.shape
+    ub = max(1, -(-U // MERGE_TARGET_STEPS))
+    # The per-step q-table block dominates VMEM: Ub * depth * Hs * 512 B.
+    cap = max(1, MERGE_VMEM_BYTES // (max(depth, 1) * Hs * 512))
+    ub = min(ub, cap, U)
+    up = -(-U // ub) * ub
+    if up != U:
+        # Pad with zero units: an all-zero q means every round shifts by 0
+        # and ORs zeros — pad outputs stay zero and are dropped below.
+        v = jnp.concatenate(
+            [v, jnp.zeros((up - U, Hs, 128), v.dtype)], axis=0)
+        q = jnp.concatenate(
+            [q, jnp.zeros((up - U, depth, Hs, 128), q.dtype)], axis=0)
+    steps = up // ub
+    vs = v.reshape(steps, ub * Hs, 128)
+    # (steps, ub, depth, Hs, 128) -> per-step (depth, ub*Hs, 128) stacks
+    qs = q.reshape(steps, ub, depth, Hs, 128).transpose(0, 2, 1, 3, 4) \
+          .reshape(steps, depth, ub * Hs, 128)
     kern = functools.partial(_merge_rows_kernel, W=W, depth=depth)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        grid=(U,),
-        in_specs=[pl.BlockSpec((1, Hs, 128), lambda i: (i, 0, 0),
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((1, ub * Hs, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, depth, Hs, 128), lambda i: (i, 0, 0, 0),
+                  pl.BlockSpec((1, depth, ub * Hs, 128),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, Hs, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, ub * Hs, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((U, Hs, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((steps, ub * Hs, 128), jnp.int32),
         interpret=interpret,
-    )(v, q)
+    )(vs, qs)
+    return out.reshape(up, Hs, 128)[:U]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

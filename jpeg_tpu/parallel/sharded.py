@@ -323,7 +323,8 @@ def _batch_levels_stats_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
     """Phase 1 of the content-sized batch encode: (B, H, W) bands ->
     (flat levels (B*N, L) int32, stats).
 
-    stats = [band bytes (B,) ..., max block bytes, total bytes, max |level|]
+    stats = [band bytes (B,) ..., max block bytes, total bytes, max |level|,
+    min constraining merge-unit bytes]
     — the only host transfer before phase 2; the levels stay device-
     resident with their sharding (same two-phase structure as the
     single-image path, api.py:_encode3_levels_stats_fn)."""
@@ -339,7 +340,8 @@ def _batch_levels_stats_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
             bb = DC.block_bytes_of(flat)
             band_bytes = jnp.sum(bb.reshape(bands.shape[0], -1), axis=-1)
             tail = jnp.stack([jnp.max(bb), jnp.sum(bb),
-                              jnp.max(jnp.abs(flat))]).astype(jnp.int32)
+                              jnp.max(jnp.abs(flat)),
+                              DC.min_unit_bytes_of(bb)]).astype(jnp.int32)
             return flat, jnp.concatenate([band_bytes, tail])
 
         fn = jax.jit(step, in_shardings=mesh_lib.batch_sharding(mesh, shape))
@@ -347,15 +349,16 @@ def _batch_levels_stats_fn(key: Tuple, dtype_name: str, mesh, shape: Tuple,
     return fn
 
 
-def _batch_entropy_sized_fn(W: int, cap: int, mesh):
+def _batch_entropy_sized_fn(W: int, cap: int, mesh, G: int = 0):
     """Phase 2: (B*N, L) sharded levels -> cap-byte stream buffer at the
-    bucketed row width W (mesh keys the cache alongside the buckets)."""
-    cache_key = ("entropy_sized", W, cap, mesh)
+    bucketed row width W and gather group G (mesh keys the cache alongside
+    the buckets)."""
+    cache_key = ("entropy_sized", W, cap, G, mesh)
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
         from ..entropy import device_codec as DC
         def step(flat):
-            buf, _, bad = DC.encode_stream_sized(flat, W, cap)
+            buf, _, bad = DC.encode_stream_sized(flat, W, cap, G)
             return buf, bad
 
         fn = jax.jit(step)
@@ -433,12 +436,13 @@ def compress_batch(images, config: Configuration, mesh,
             flat, stats = fn(jnp.asarray(bands))
             st = np.asarray(stats)
             band_bytes = st[:3 * b]
-            max_bb, total, mx = (int(x) for x in st[3 * b:])
+            max_bb, total, mx, min_unit = (int(x) for x in st[3 * b:])
             _check_amp(mx)
             Wb = DC.encode_words_bucket(L, max_bb)
             cap = DC.encode_cap_bucket(
                 total, n_total * DC.worst_case_block_bytes(L))
-            buf_dev, bad = _batch_entropy_sized_fn(Wb, cap, mesh)(flat)
+            Gb = DC.gather_group_bucket(min_unit, n_total, Wb)
+            buf_dev, bad = _batch_entropy_sized_fn(Wb, cap, mesh, Gb)(flat)
             DC.check_sized_ok(bad)
             buf = pull_prefix(buf_dev, total)
         elif n_total <= m:

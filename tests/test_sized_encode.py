@@ -23,21 +23,24 @@ def test_width_buckets():
     assert DC.encode_words_bucket(64, 0) == full
     assert DC.encode_words_bucket(64, 185) == full
     assert DC.encode_words_bucket(64, 9999) == full
-    assert DC.encode_words_bucket(64, 1) == 8
-    assert DC.encode_words_bucket(64, 32) == 8   # 8 words hold 32 bytes
-    assert DC.encode_words_bucket(64, 33) == 16
-    assert DC.encode_words_bucket(64, 130) == 40
+    assert DC.encode_words_bucket(64, 1) == 2
+    assert DC.encode_words_bucket(64, 8) == 2    # 2 words hold 8 bytes
+    assert DC.encode_words_bucket(64, 9) == 4
+    assert DC.encode_words_bucket(64, 40) == 10  # even-word fine buckets
+    assert DC.encode_words_bucket(64, 65) == 20  # multiples of 4 past 16
+    assert DC.encode_words_bucket(64, 130) == 40  # multiples of 8 past 32
     prev = 0
     for bb in range(1, DC.worst_case_block_bytes(64) + 1):
         W = DC.encode_words_bucket(64, bb)
-        assert W % 8 == 0 and 4 * W >= bb        # tiling + capacity
+        # even widths keep (2**depth * W) % 128 == 0 for any depth >= 6
+        assert W % 2 == 0 and 4 * W >= bb        # merge tiling + capacity
         assert W >= prev                         # monotone in max_bb
         prev = W
     # large L: geometric growth keeps the bucket count small
     full576 = DC.encode_words_full(576)
     widths = {DC.encode_words_bucket(576, bb)
               for bb in range(1, DC.worst_case_block_bytes(576) + 1, 7)}
-    assert len(widths) <= 12 and max(widths) == full576
+    assert len(widths) <= 24 and max(widths) == full576
 
 
 def test_cap_buckets():
@@ -53,7 +56,59 @@ def test_cap_buckets():
     assert DC.encode_cap_bucket(20_000_000, worst) == worst
 
 
-def _check_sized(levels, W=None, cap=None):
+def test_gather_group_bucket():
+    # Unconstrained (fewer than two real units): structural limits only.
+    assert DC.gather_group_bucket(2 ** 30, 1024, 8) == DC.GATHER_G_MAX
+    # Content bound: 4*G <= min_unit.
+    assert DC.gather_group_bucket(64, 4096, 8) == 16
+    assert DC.gather_group_bucket(63, 4096, 8) == 8
+    assert DC.gather_group_bucket(1536, 4096, 8) == 256
+    # Structural bound: (2**depth * W) % G == 0 (W=10 -> v2(Wu) = m+1).
+    m = DC.effective_depth(4096)
+    assert DC.gather_group_bucket(2 ** 30, 4096, 10) == min(
+        DC.GATHER_G_MAX, 1 << (m + 1))
+
+
+def test_min_unit_bytes_of():
+    u = 1 << DC.effective_depth(3 * 1024)
+    # Three full units of 3-byte blocks + pad: last real unit excluded.
+    bb = np.full(3 * u, 3, np.int32)
+    bb[-1] = 1                                   # short tail block
+    got = int(jax.jit(DC.min_unit_bytes_of)(jnp.asarray(bb)))
+    assert got == 3 * u                          # units 0..1 constrain
+    # A single real unit constrains nothing.
+    assert int(jax.jit(DC.min_unit_bytes_of)(
+        jnp.asarray(np.full(u, 3, np.int32)))) == 2 ** 30
+
+
+def test_sized_oversized_gather_group_poisons(monkeypatch):
+    """A G whose 4*G exceeds a constraining unit must zero the buffer and
+    raise via check_sized_ok, never mis-attribute gather groups silently."""
+    from jpeg_tpu.ops import pallas_kernels as PK
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setattr(PK, "ENC_TILE", 64)
+    monkeypatch.setattr(DC, "MERGE_DEPTH", 6)
+    u = 1 << 6
+    levels = np.zeros((3 * u, 16), np.int32)
+    levels[:, 0] = 100                           # ~3-byte blocks: units ~192B
+    n = levels.shape[0]
+    bb = np.asarray(jax.jit(DC.block_bytes_of)(jnp.asarray(levels)))
+    W = DC.encode_words_bucket(16, int(bb.max()))
+    cap = DC.encode_cap_bucket(
+        int(bb.sum()), n * DC.worst_case_block_bytes(16))
+    mu = int(jax.jit(DC.min_unit_bytes_of)(jnp.asarray(bb)))
+    bad_G = DC.gather_group_bucket(mu, n, W) * 2
+    assert 4 * bad_G > mu
+    buf, _, bad = jax.jit(lambda lv: DC.encode_stream_sized(
+        lv, W, cap, bad_G))(jnp.asarray(levels))
+    assert bool(bad) and not np.asarray(buf).any()
+    with pytest.raises(ValueError):
+        DC.check_sized_ok(bad)
+    # The legal bucket at the same shapes is exact.
+    _check_sized(levels)
+
+
+def _check_sized(levels, W=None, cap=None, G=None):
     """encode_stream_sized output == host bytes, remainder zero."""
     levels = np.asarray(levels, np.int32)
     want = NC.encode_levels(levels)
@@ -66,8 +121,11 @@ def _check_sized(levels, W=None, cap=None):
     if cap is None:
         cap = DC.encode_cap_bucket(
             total, levels.shape[0] * DC.worst_case_block_bytes(L))
+    if G is None:
+        mu = int(jax.jit(DC.min_unit_bytes_of)(jnp.asarray(bb)))
+        G = DC.gather_group_bucket(mu, levels.shape[0], W)
     buf, _, bad = jax.jit(
-        lambda lv: DC.encode_stream_sized(lv, W, cap))(jnp.asarray(levels))
+        lambda lv: DC.encode_stream_sized(lv, W, cap, G))(jnp.asarray(levels))
     assert not bool(bad)
     buf = np.asarray(buf)
     assert buf.shape[0] == min(
