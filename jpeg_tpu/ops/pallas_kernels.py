@@ -564,7 +564,11 @@ def _merge_rows_kernel(v_ref, q_ref, out_ref, *, W: int, depth: int):
 
 MERGE_TARGET_STEPS = 12   # aim for this many grid steps (3-4 us fixed cost
                           # per step dominated the kernel at 96+ steps)
-MERGE_VMEM_BYTES = 6 << 20  # q-table VMEM budget per grid step
+MERGE_VMEM_BYTES = 12 << 20  # scoped-VMEM budget per grid step (chip limit
+                             # 16 MiB; the ladder's live temporaries cost
+                             # ~56 unit-heights on top of the depth-high q
+                             # block — a 39.8 MiB scoped alloc at 8 stacked
+                             # W=42 units calibrated the multiplier)
 
 
 def merge_rows_units(v, q, W: int, depth: int, interpret=None):
@@ -583,8 +587,10 @@ def merge_rows_units(v, q, W: int, depth: int, interpret=None):
         interpret = _interpret()
     U, Hs, _ = v.shape
     ub = max(1, -(-U // MERGE_TARGET_STEPS))
-    # The per-step q-table block dominates VMEM: Ub * depth * Hs * 512 B.
-    cap = max(1, MERGE_VMEM_BYTES // (max(depth, 1) * Hs * 512))
+    # Scoped-VMEM estimate per stacked unit: the q block (depth heights)
+    # plus ~56 unit-heights of ladder temporaries (measured on chip).
+    per_unit = (depth + 56) * Hs * 512
+    cap = max(1, MERGE_VMEM_BYTES // per_unit)
     ub = min(ub, cap, U)
     up = -(-U // ub) * ub
     if up != U:
