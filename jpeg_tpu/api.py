@@ -162,14 +162,15 @@ from .utils.device import pull_prefix as _pull_prefix  # shared helper
 
 @functools.lru_cache(maxsize=None)
 def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
-                       nbytes_pad: int, max_bb: int = 0):
+                       nbytes_pad: int, max_bb: int = 0, sort: bool = True):
     """Fully-device decode: (stream bytes, block starts) -> (3, H, W) u8.
 
     The host does only the serial O(bytes) boundary scan; bit parsing, IDCT
     and clamping all run in one jitted program (entropy/device_codec.py).
     ``nbytes_pad`` is the power-of-two padded stream size (static shape);
     ``max_bb`` the longest block in bytes (0 = worst case), which sizes the
-    decode word-row gather."""
+    decode word-row gather; ``sort`` selects the length-sorted tile layout
+    (hosts pass DC.sort_pays_off over the scanned lengths)."""
     from .entropy import device_codec as DC
     h, w, bs, d, transform, qname, qparams = key
     cfg = Configuration(width=w, height=h, block_size=bs, dct_size=d,
@@ -180,7 +181,8 @@ def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
     dec = _band.make_decode(key, dtype_name, use_pallas)
 
     def f(stream_u8, starts):
-        levels = DC.decode_stream(stream_u8, starts, L, max_bb)  # (3*nb, L)
+        levels = DC.decode_stream(stream_u8, starts, L, max_bb,
+                                  sort=sort)  # (3*nb, L)
         planes = jax.vmap(dec)(levels.reshape(3, nb, L))
         return planes.astype(jnp.uint8)
 
@@ -398,11 +400,13 @@ def _start_decompress(bytestream: bytes, dtype):
             starts.append(sc + off)
             off += len(s)
             max_bb = max(max_bb, DC.max_block_bytes_of(sc, len(s)))
+        all_starts = np.concatenate(starts)
         # Bucketed longest-block width sizes the decode word-row gather;
         # serial decompress_to_ycbcr shares this code (and executable).
         fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad,
-                                DC.bucket_block_bytes(L, max_bb))
-        return fn(arr_dev, np.concatenate(starts))
+                                DC.bucket_block_bytes(L, max_bb),
+                                DC.sort_pays_off(all_starts, len(buf)))
+        return fn(arr_dev, all_starts)
     nb, L = config.num_blocks, config.dct_size ** 2
     with ThreadPoolExecutor(max_workers=3) as pool:
         levels = list(pool.map(

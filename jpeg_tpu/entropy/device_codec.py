@@ -686,7 +686,66 @@ def bucket_block_bytes(L: int, max_block_bytes: int) -> int:
     return (words_per_block(L, max_block_bytes) - _SLACK_WORDS) * 4
 
 
-def _decode_stream_pallas(stream_u8, starts, L: int, W: int):
+def _bytes_to_be_words(stream_u8, padded: int):
+    """(nbytes,) uint8 -> (padded/4,) int32 big-endian stream words.
+
+    One native (n, 4) u8 -> (n,) u32 bitcast plus a 5-op byteswap: the
+    earlier reshape-to-(n, 4)-int32 formulation put the bytes on a 4-wide
+    minor dim (1/32 lane occupancy) and measured 0.68 ms for a 1.3 MB
+    stream — ~14x the data's bandwidth cost.  int32 out (Mosaic has no
+    unsigned reductions); <<24 wrapping negative is the right bit pattern.
+    """
+    nbytes = stream_u8.shape[0]
+    b = stream_u8
+    if padded != nbytes:
+        b = jnp.concatenate([b, jnp.zeros(padded - nbytes, jnp.uint8)])
+    x = jax.lax.bitcast_convert_type(b.reshape(-1, 4), jnp.uint32)
+    # XLA bitcast packs minor-dim bytes little-endian; the decode kernel
+    # wants byte 0 in bits 31..24.
+    w = ((x << 24) | ((x & 0xFF00) << 8)
+         | ((x >> 8) & 0xFF00) | (x >> 24))
+    return w.astype(jnp.int32)
+
+
+SORT_MARGIN_BYTES = 1500  # summed per-tile-max saving (bytes ~ lockstep
+                          # iterations) that repays the unpermute gather +
+                          # argsort; chip-calibrated at 4.2 MP (sorted
+                          # kernel 0.31 ms vs 0.46 unsorted for a 480-byte
+                          # spread; unpermute 0.48 ms)
+
+
+def sort_pays_off(starts, total_len: int, tile: int = 0) -> bool:
+    """Host-side: does length-sorting the blocks save more lockstep
+    iterations than the unpermute gather + argsort cost?
+
+    The lockstep decode kernel pays each tile's longest block, so sorting
+    helps exactly when the natural block order mixes long and short blocks
+    within tiles.  Sum-of-tile-maxima over the natural vs the sorted order
+    (lengths are host-known from the boundary scan) measures that saving
+    in bytes, which track iterations.
+    """
+    return sort_pays_off_from_lens(
+        np.diff(np.asarray(starts), append=total_len), tile)
+
+
+def sort_pays_off_from_lens(lens, tile: int = 0) -> bool:
+    """:func:`sort_pays_off` on precomputed block byte lengths."""
+    from ..ops import pallas_kernels as PK
+    tile = tile or PK.DEC_TILE
+    lens = np.asarray(lens)
+    n = lens.shape[0]
+    if n <= tile:
+        return False
+    pad = (-n) % tile
+    if pad:
+        lens = np.append(lens, np.zeros(pad, lens.dtype))
+    nat = lens.reshape(-1, tile).max(axis=1).sum()
+    srt = np.sort(lens).reshape(-1, tile).max(axis=1).sum()
+    return int(nat - srt) > SORT_MARGIN_BYTES
+
+
+def _decode_stream_pallas(stream_u8, starts, L: int, W: int,
+                          sort: bool = True):
     """TPU path: one GROUPED gather builds per-block stream word rows, then
     the Mosaic kernel (ops/pallas_kernels.py:_decode_stream_kernel) decodes
     every block in VMEM with zero per-step HBM gathers/scatters.
@@ -708,20 +767,16 @@ def _decode_stream_pallas(stream_u8, starts, L: int, W: int):
     # Zero-pad so every gathered group is in range (zeros decode as EOB —
     # never reached, blocks end at their own EOB).  All shapes static.
     padded = (-(-nbytes // gb) + n_groups) * gb
-    # int32 words (Mosaic has no unsigned reductions); <<24 of high bytes
-    # wraps negative, which is exactly the right bit pattern.
-    p = jnp.concatenate([stream_u8.astype(jnp.int32),
-                         jnp.zeros(padded - nbytes, jnp.int32)]).reshape(-1, 4)
-    words = (p[:, 0] << 24) | (p[:, 1] << 16) | (p[:, 2] << 8) | p[:, 3]
-    tbl = words.reshape(-1, G)
+    tbl = _bytes_to_be_words(stream_u8, padded).reshape(-1, G)
     s32 = starts.astype(jnp.int32)
     n = s32.shape[0]
     # The lockstep kernel pays each tile's LONGEST block: sorting blocks by
-    # stream length makes tiles homogeneous (measured 2.3 -> 1.7 ms for a
-    # 4 MP band, argsort + unpermute row-gather included).  Pointless for a
-    # single tile, where the tile max is the global max either way.
+    # stream length makes tiles homogeneous.  But the sort costs a second
+    # N-index row gather (the unpermute) — ~0.5 ms at 4 MP — so it only
+    # pays on heterogeneous content; the HOST decides from the scan's
+    # lengths (:func:`sort_pays_off`) and keys the compiled program.
     order = None
-    if n > PK.DEC_TILE:
+    if sort and n > PK.DEC_TILE:
         lens = jnp.diff(s32, append=jnp.int32(nbytes))
         order = jnp.argsort(lens)
         s32 = jnp.take(s32, order)
@@ -746,13 +801,18 @@ def max_block_bytes_of(starts: np.ndarray, total_len: int) -> int:
     return int((ends - starts).max())
 
 
-def decode_stream(stream_u8, starts, L: int, max_block_bytes: int = 0):
+def decode_stream(stream_u8, starts, L: int, max_block_bytes: int = 0,
+                  sort: bool = True):
     """Block-parallel device decode: (stream bytes, block start offsets) ->
     (N, L) int32 levels.
 
     ``max_block_bytes`` (static) tightens the per-block word-row width on
     the Pallas path — the host scan knows the longest block, and the HBM
     gather cost scales with N x width.  0 = worst case (always safe).
+    ``sort`` (static) selects the length-sorted tile layout; hosts that
+    know the block lengths pass :func:`sort_pays_off` — homogeneous bands
+    skip the unpermute gather (~0.5 ms at 4 MP).  True (always safe) is
+    never wrong by more than that constant.
 
     The serial part of decode — finding where each block's bitstream starts
     — happens host-side in one O(bytes) scan (entropy.scan_offsets), which
@@ -781,7 +841,8 @@ def decode_stream(stream_u8, starts, L: int, max_block_bytes: int = 0):
             f"bit-position range (~256 MiB); decode in smaller chunks")
     if _pallas_decode_enabled():
         return _decode_stream_pallas(stream_u8, starts, L,
-                                     words_per_block(L, max_block_bytes))
+                                     words_per_block(L, max_block_bytes),
+                                     sort=sort)
     max_steps = L + L // MAX_RUN + 2
 
     # Per-byte big-endian 32-bit windows: w32[i] = bytes[i..i+4) (zero pad).

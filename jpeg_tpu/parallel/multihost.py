@@ -168,6 +168,7 @@ def decompress_plane_distributed(stream: bytes, config: Configuration,
         [stream], [scan], ndev)
     bucket_bb = DC.bucket_block_bytes(
         L, DC.max_block_bytes_of(scan, len(stream)))
+    srt = DC.sort_pays_off(scan, len(stream))
 
     # Host-local rows of the per-device slice tables, contiguous in mesh
     # order (same process-contiguity requirement as the encode path).
@@ -189,7 +190,7 @@ def decompress_plane_distributed(stream: bytes, config: Configuration,
     pal = sharded._mesh_pallas(flatm, dt, config.transform)
     key = band_ops.config_key(config)
     cache_key = (key, dt.name, flatm, slices.shape, local_starts.shape,
-                 pal, bucket_bb)
+                 pal, bucket_bb, srt)
     fn = _DIST_FNS.get(cache_key)
     if fn is None:
         decode_one = band_ops.make_decode(key, dt.name, pal)
@@ -199,7 +200,8 @@ def decompress_plane_distributed(stream: bytes, config: Configuration,
             (config.height, config.width), flatm, spec))
 
         def parse_local(sl, st):
-            return DC.decode_stream(sl[0], st[0], L, bucket_bb)[None]
+            return DC.decode_stream(sl[0], st[0], L, bucket_bb,
+                                    sort=srt)[None]
 
         def step(sl, st):
             lv = jax.shard_map(parse_local, mesh=flatm,

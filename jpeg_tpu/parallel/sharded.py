@@ -262,8 +262,9 @@ def decompress_plane(data: bytes, config: Configuration, mesh,
         starts = entropy.scan_offsets(data, nb, L)     # validates the stream
         bucket_bb = DC.bucket_block_bytes(
             L, DC.max_block_bytes_of(starts, len(data)))
+        srt = DC.sort_pays_off(starts, len(data))
         cache_key = ("dec_plane_stream", key, dt.name, flat, pad, pal,
-                     bucket_bb)
+                     bucket_bb, srt)
         fn = _PLANE_FNS.get(cache_key)
         if fn is None:
             decode_one = band_ops.make_decode(key, dt.name, pal)
@@ -274,7 +275,7 @@ def decompress_plane(data: bytes, config: Configuration, mesh,
                 # Stream/starts replicate (compressed bytes are small);
                 # the lockstep bit parse and IDCT shard over block rows.
                 levels = DC.decode_stream(stream_u8, starts_arr, L,
-                                          bucket_bb)
+                                          bucket_bb, sort=srt)
                 levels = jax.lax.with_sharding_constraint(levels, lv_sh)
                 return decode_one(levels)
 
@@ -605,6 +606,8 @@ def _decompress_batch_device(flat_streams: List[bytes],
     max_bb = max(DC.max_block_bytes_of(sc, len(s))
                  for s, sc in zip(flat_streams, scans))
     bucket_bb = DC.bucket_block_bytes(L, max_bb)
+    srt = DC.sort_pays_off_from_lens(np.concatenate(
+        [np.diff(sc, append=len(s)) for s, sc in zip(flat_streams, scans)]))
     ndev = int(mesh.devices.size)
     slices, local_starts = _shard_stream_slices(flat_streams, scans, ndev)
     n = b * 3 * nb
@@ -613,7 +616,7 @@ def _decompress_batch_device(flat_streams: List[bytes],
     key = band_ops.config_key(config)
     pal = _mesh_pallas(mesh, dt, config.transform)
     cache_key = ("dec_stream", key, dt.name, mesh, slices.shape,
-                 local_starts.shape, b, pal, bucket_bb)
+                 local_starts.shape, b, pal, bucket_bb, srt)
     fn = _BATCH_FNS.get(cache_key)
     if fn is None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -628,7 +631,8 @@ def _decompress_batch_device(flat_streams: List[bytes],
         in_sh = NamedSharding(mesh, P(both, None))
 
         def parse_local(sl, st):
-            return DC.decode_stream(sl[0], st[0], L, bucket_bb)[None]
+            return DC.decode_stream(sl[0], st[0], L, bucket_bb,
+                                    sort=srt)[None]
 
         def step(sl, st):
             lv = jax.shard_map(parse_local, mesh=mesh,

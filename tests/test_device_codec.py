@@ -248,6 +248,28 @@ def test_pallas_decode_sorted_tiles(monkeypatch):
     buf = jnp.asarray(np.frombuffer(stream, np.uint8))
     got = np.asarray(DC.decode_stream(buf, jnp.asarray(starts), L))
     np.testing.assert_array_equal(got, levels)
+    # The unsorted layout (hosts choose it for homogeneous bands via
+    # sort_pays_off) must be bit-identical.
+    got_u = np.asarray(DC.decode_stream(buf, jnp.asarray(starts), L,
+                                        sort=False))
+    np.testing.assert_array_equal(got_u, levels)
+
+
+def test_sort_pays_off_decision():
+    """Homogeneous lengths -> no sort; one long block per natural tile with
+    tiny neighbours -> sort (per-tile maxima collapse under sorting)."""
+    tile = 64
+    n = 16 * tile
+    homog = np.full(n, 20, np.int64)
+    starts = np.cumsum(homog) - homog
+    assert not DC.sort_pays_off(starts, int(homog.sum()), tile)
+    hetero = np.full(n, 2, np.int64)
+    hetero[::tile] = 180                       # every natural tile pays 180
+    starts = np.cumsum(hetero) - hetero
+    assert DC.sort_pays_off(starts, int(hetero.sum()), tile)
+    # Fewer blocks than one tile: the tile max is the global max either way.
+    assert not DC.sort_pays_off(starts[:tile // 2], int(hetero[:tile // 2]
+                                                        .sum()), tile)
 
 
 @pytest.mark.parametrize("L", [16, 64])
