@@ -10,6 +10,7 @@ Backends:
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 
@@ -59,15 +60,17 @@ def encode_levels(levels: np.ndarray) -> bytes:
 def decode_levels(data: bytes, num_blocks: int, L: int) -> np.ndarray:
     nat = _get_native()
     if nat is not None:
-        # Note: decode_levels_mt (scan + thread-parallel ranges) exists but
-        # loses to serial here — the boundary scan is ~75% of a full decode
-        # with the word-window bit reader, so Amdahl caps the win below the
-        # thread overhead.  Bands already decode in parallel at the caller.
+        # A thread-parallel range decode (scan + jt_decode_range on a pool)
+        # was measured and removed: the boundary scan is ~75% of a full
+        # decode with the word-window bit reader, so Amdahl caps the win
+        # below the thread overhead.  Bands already decode in parallel at
+        # the caller.
         return nat.decode_levels(data, num_blocks, L)
     return numpy_codec.decode_levels(data, num_blocks, L)
 
 
 _warned_python_scan = False
+_warn_lock = threading.Lock()
 
 
 def scan_offsets(data: bytes, num_blocks: int, L: int) -> np.ndarray:
@@ -87,8 +90,14 @@ def scan_offsets(data: bytes, num_blocks: int, L: int) -> np.ndarray:
     if nat is not None:
         return nat.scan_offsets(data, num_blocks, L)
     global _warned_python_scan
-    if not _warned_python_scan and len(data) > (1 << 20):
-        _warned_python_scan = True
+    if len(data) > (1 << 20):
+        # Lock: scan_offsets runs concurrently on band threads
+        # (api._start_decompress), so check-then-set alone can double-warn.
+        with _warn_lock:
+            fire, _warned_python_scan = not _warned_python_scan, True
+    else:
+        fire = False
+    if fire:
         import warnings
         warnings.warn(
             "entropy: C++ scanner unavailable — falling back to the "

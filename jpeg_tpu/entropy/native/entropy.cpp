@@ -159,41 +159,6 @@ int64_t jt_scan_offsets(const uint8_t* data, int64_t n_bytes,
     return r.bitpos >> 3;
 }
 
-// Decode a contiguous block range starting at a known byte offset (from
-// jt_scan_offsets) into out[n_blocks_range x L].  Enables data-parallel
-// decode: scan once serially, then decode ranges on independent threads
-// (the Python side drives the threads; this call releases the GIL via
-// ctypes).  Returns the end byte offset or <0.
-int64_t jt_decode_range(const uint8_t* data, int64_t n_bytes,
-                        int64_t start_byte, int32_t* out,
-                        int64_t n_blocks, int64_t L) {
-    std::memset(out, 0, size_t(n_blocks * L) * sizeof(int32_t));
-    BitReader r{data, n_bytes * 8};
-    r.bitpos = start_byte * 8;
-    const int64_t max_codes = L + L / kMaxRun + 2;
-    for (int64_t b = 0; b < n_blocks; ++b) {
-        int32_t* row = out + b * L;
-        int64_t widx = 0;
-        bool done = false;
-        for (int64_t step = 0; step < max_codes; ++step) {
-            if (!r.have(8)) return -5;
-            uint32_t run = r.get(4);
-            uint32_t size = r.get(4);
-            if (run == 0 && size == 0) { r.align_byte(); done = true; break; }
-            if (run == kMaxRun && size == 0) { widx += kMaxRun; continue; }
-            if (size == 0) return -3;
-            if (!r.have(int(size))) return -5;
-            uint32_t sign = r.get(1);
-            uint32_t mag = size > 1 ? r.get(int(size - 1)) : 0;
-            widx += run;
-            if (widx >= L) return -4;
-            row[widx++] = sign ? int32_t(mag) : -int32_t(mag);
-        }
-        if (!done) return -6;
-    }
-    return r.bitpos >> 3;
-}
-
 // Decode into (n_blocks x L) int32. Returns bytes consumed or <0.
 int64_t jt_decode(const uint8_t* data, int64_t n_bytes,
                   int32_t* out, int64_t n_blocks, int64_t L) {

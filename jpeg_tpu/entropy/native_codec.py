@@ -62,10 +62,6 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.jt_scan_offsets.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_int64]
-    lib.jt_decode_range.restype = ctypes.c_int64
-    lib.jt_decode_range.argtypes = [ctypes.c_void_p, ctypes.c_int64,
-                                    ctypes.c_int64, ctypes.c_void_p,
-                                    ctypes.c_int64, ctypes.c_int64]
     return lib
 
 
@@ -120,36 +116,6 @@ def scan_offsets(data: bytes, num_blocks: int, L: int) -> np.ndarray:
                                buf.size, starts.ctypes.data, num_blocks, L)
     _raise_stream_error(res, buf.size, num_blocks)
     return starts
-
-
-def decode_levels_mt(data: bytes, num_blocks: int, L: int,
-                     threads: int = 4) -> np.ndarray:
-    """Data-parallel decode: one serial boundary scan, then block ranges
-    decoded on a thread pool (ctypes releases the GIL)."""
-    assert available()
-    if num_blocks < 2 * threads or threads <= 1:
-        return decode_levels(data, num_blocks, L)
-    starts = scan_offsets(data, num_blocks, L)   # validates the full stream
-    buf = np.frombuffer(bytes(data), dtype=np.uint8)
-    out = np.zeros((num_blocks, L), dtype=np.int32)
-    per = -(-num_blocks // threads)
-    ranges = [(i, min(i + per, num_blocks))
-              for i in range(0, num_blocks, per)]
-
-    def work(rng):
-        lo, hi = rng
-        res = _lib.jt_decode_range(
-            buf.ctypes.data, buf.size, int(starts[lo]),
-            out[lo:hi].ctypes.data, hi - lo, L)
-        return int(res)
-
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=len(ranges)) as pool:
-        results = list(pool.map(work, ranges))
-    for res in results:
-        if res < 0:
-            _raise_stream_error(res, buf.size, num_blocks)
-    return out
 
 
 def decode_levels(data: bytes, num_blocks: int, L: int) -> np.ndarray:

@@ -175,6 +175,9 @@ def decompress_plane_distributed(stream: bytes, config: Configuration,
     pidx = jax.process_index()
     mine = [k for k, d in enumerate(flatm.devices.flat)
             if d.process_index == pidx]
+    if not mine:
+        raise ValueError(
+            "this process owns no devices in the provided mesh")
     if mine != list(range(mine[0], mine[0] + len(mine))):
         raise ValueError(
             "this process's devices are not contiguous in mesh order; use "

@@ -60,29 +60,3 @@ def test_truncation_and_garbage_raise():
         native.decode_levels(data[:-1], 1, 16)
     with pytest.raises(BadStreamError):
         native.decode_levels(data + b"\x00", 1, 16)
-
-
-def test_decode_levels_mt_matches_serial():
-    from jpeg_tpu.entropy import native_codec as nc
-    if not nc.available():
-        pytest.skip("native codec unavailable")
-    rng = np.random.default_rng(17)
-    for n, L in [(5, 64), (100, 64), (20000, 16)]:
-        levels = np.zeros((n, L), dtype=np.int32)
-        mask = rng.random(levels.shape) < 0.12
-        levels[mask] = rng.integers(-900, 900, int(mask.sum()))
-        data = nc.encode_levels(levels)
-        got = nc.decode_levels_mt(data, n, L, threads=7)
-        np.testing.assert_array_equal(got, levels)
-
-
-def test_decode_levels_mt_raises_on_corruption():
-    from jpeg_tpu.config import BadStreamError
-    from jpeg_tpu.entropy import native_codec as nc
-    if not nc.available():
-        pytest.skip("native codec unavailable")
-    levels = np.zeros((20000, 16), dtype=np.int32)
-    levels[:, 1] = 3
-    data = nc.encode_levels(levels)
-    with pytest.raises(BadStreamError):
-        nc.decode_levels_mt(data[:-2], 20000, 16, threads=7)
