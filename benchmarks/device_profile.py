@@ -103,22 +103,27 @@ def main() -> None:
     pad = pow2_cap(len(stream))
     arr = np.zeros(pad, np.uint8)
     arr[:len(stream)] = np.frombuffer(stream, np.uint8)
-    arr_d = jax.device_put(arr)
+    # production form: LE words viewed on the host (free), byteswapped on
+    # device — the u8 -> u32 bitcast relayout measured 0.76 ms for 1.3 MB
+    arr_d = jax.device_put(DC.host_stream_arg(arr))
     st_d = jax.device_put(starts.astype(np.int32))
+    total = np.int32(len(stream))
     lv_d = jax.device_put(levels)
     print(f"stream: {len(stream)} bytes ({3 * h * w / len(stream):.2f}x)",
           file=sys.stderr)
 
     # production decode passes the bucketed longest-block width, which
-    # sizes the word-row gather (the decode bottleneck)
+    # sizes the overlap-row gather and the kernel's trimmed width
     bucket_bb = DC.bucket_block_bytes(
         L, DC.max_block_bytes_of(starts, len(stream)))
-    print(f"decode word width: {DC.words_per_block(L, bucket_bb)} "
-          f"(worst case {DC.words_per_block(L, 0)})", file=sys.stderr)
+    print(f"decode geometry: G={DC.dec_group(L, bucket_bb)} "
+          f"weff={DC.dec_weff(L, bucket_bb)} "
+          f"(worst case G={DC.dec_group(L, 0)})", file=sys.stderr)
 
     # correctness gate before timing anything
     got = np.asarray(jax.jit(
-        lambda s, t: DC.decode_stream(s, t, L, bucket_bb))(arr_d, st_d))
+        lambda s, t: DC.decode_stream(s, t, L, bucket_bb,
+                                      total_len=total))(arr_d, st_d))
     assert np.array_equal(got, levels), "device decode mismatch"
 
     results = {}
@@ -217,7 +222,7 @@ def main() -> None:
     record("enc_sized_total", (p1 + p2) / 1e3, plane_b + 2 * levels_b + stream_b + bb_b)
 
     def ent_dec(st):
-        lv = DC.decode_stream(arr_d, st, L, bucket_bb)
+        lv = DC.decode_stream(arr_d, st, L, bucket_bb, total_len=total)
         return st + dep(lv)
 
     record("entropy_dec", marginal(ent_dec, st_d), stream_b + starts_b + levels_b)
@@ -229,7 +234,7 @@ def main() -> None:
     record("coeff_dec", marginal(coeff_dec, lv_d), levels_b + plane_b)
 
     def fused_dec(st):
-        lv = DC.decode_stream(arr_d, st, L, bucket_bb)
+        lv = DC.decode_stream(arr_d, st, L, bucket_bb, total_len=total)
         p = jax.vmap(dec)(lv.reshape(3, nb, L))
         return st + dep(p)
 

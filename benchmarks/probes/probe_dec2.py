@@ -97,10 +97,11 @@ def main() -> None:
     tm("argsort", marginal(sort_only, starts_d))
 
     # (b) word-table build alone
-    G = PK.DEC_GROUP
+    G = DC.dec_group(L, max_bb)
+    we = DC.dec_weff(L, max_bb, G)
     gb = 4 * G
-    n_groups = W // G
-    padded = (-(-nbytes // gb) + n_groups) * gb
+    nw = (nbytes // gb + 2) * G
+    padded = 4 * nw
 
     def table_old(s):
         p = jnp.concatenate([s.astype(jnp.int32),
@@ -114,41 +115,35 @@ def main() -> None:
         return s + dep(DC._bytes_to_be_words(s, padded)).astype(jnp.uint8)
     tm("word_table(bitcast)", marginal(table_only, stream_d))
 
-    # (c) grouped row gather alone (sorted starts precomputed)
+    # (c) overlap row gather alone (sorted starts precomputed)
     lens_np = np.diff(starts, append=nbytes)
     order_np = np.argsort(lens_np, kind="stable").astype(np.int32)
     s_sorted = jax.device_put(starts.astype(np.int32)[order_np])
-    p = jnp.concatenate([stream_d.astype(jnp.int32),
-                         jnp.zeros(padded - nbytes, jnp.int32)]).reshape(-1, 4)
-    words = (p[:, 0] << 24) | (p[:, 1] << 16) | (p[:, 2] << 8) | p[:, 3]
-    tbl = jnp.asarray(words.reshape(-1, G))
+    wbe = np.frombuffer(stream + b"\0" * (padded - nbytes),
+                        ">u4").astype(np.int32)
+    tbl = jnp.asarray(wbe.reshape(-1, G))
+    tbl_ov = jnp.asarray(jnp.concatenate([tbl[:-1], tbl[1:]], axis=1))
 
     def gather_only(s32):
-        g0 = s32 // gb
-        idx = g0[:, None] + jnp.arange(n_groups, dtype=jnp.int32)[None, :]
-        rows = tbl[idx].reshape(n, n_groups * G)
+        rows = tbl_ov[s32 // gb]
         return s32 + dep(rows)
-    tm("row_gather", marginal(gather_only, s_sorted))
+    tm("row_gather(1 idx/blk)", marginal(gather_only, s_sorted))
 
     # (d) kernel alone (sorted rows + phases precomputed)
-    g0 = s_sorted // gb
-    idx = g0[:, None] + jnp.arange(n_groups, dtype=jnp.int32)[None, :]
-    rows0 = jnp.asarray(tbl[idx].reshape(n, n_groups * G))
+    rows0 = jnp.asarray(tbl_ov[s_sorted // gb])
     phase0 = jnp.asarray(((s_sorted % gb) * 8)[:, None])
 
     def kernel_only(r):
-        lv = PK.decode_stream_rows(r, phase0, L)
+        lv = PK.decode_stream_rows(r, phase0, L, weff=we)
         return r + dep(lv)
-    tm("kernel(sorted)", marginal(kernel_only, rows0))
+    tm(f"kernel(sorted,we={we})", marginal(kernel_only, rows0))
 
     # (d') kernel alone, UNSORTED rows (straggler cost of natural order)
-    g0u = starts_d // gb
-    idxu = g0u[:, None] + jnp.arange(n_groups, dtype=jnp.int32)[None, :]
-    rowsu = jnp.asarray(tbl[idxu].reshape(n, n_groups * G))
+    rowsu = jnp.asarray(tbl_ov[starts_d // gb])
     phaseu = jnp.asarray(((starts_d % gb) * 8)[:, None])
 
     def kernel_unsorted(r):
-        lv = PK.decode_stream_rows(r, phaseu, L)
+        lv = PK.decode_stream_rows(r, phaseu, L, weff=we)
         return r + dep(lv)
     tm("kernel(unsorted)", marginal(kernel_unsorted, rowsu))
 
@@ -169,22 +164,30 @@ def main() -> None:
     # IDCT kernel, which forces the (N, L) levels to materialize — as in
     # api._decode3_stream_fn.
     dec_band = band_ops.make_decode(key, dt.name, pal)
+    from jpeg_tpu.utils.device import pow2_cap
+    pad = pow2_cap(nbytes)
+    arr = np.zeros(pad, np.uint8)
+    arr[:nbytes] = np.frombuffer(stream, np.uint8)
+    words_d = jax.device_put(DC.host_stream_arg(arr))
+    total = np.int32(nbytes)
     for srt in (True, False):
         def full(s):
-            lv = DC.decode_stream(s, starts_d, L, max_bb, sort=srt)
-            return s + dep(lv).astype(jnp.uint8)
+            lv = DC.decode_stream(s, starts_d, L, max_bb, sort=srt,
+                                  total_len=total)
+            return s + dep(lv).astype(s.dtype)
         got = np.asarray(jax.jit(
-            lambda s: DC.decode_stream(s, starts_d, L, max_bb,
-                                       sort=srt))(stream_d))
+            lambda s: DC.decode_stream(s, starts_d, L, max_bb, sort=srt,
+                                       total_len=total))(words_d))
         ok = np.array_equal(got, levels)
         tm(f"full_decode sort={srt} {'ok' if ok else 'MISMATCH'}",
-           marginal(full, stream_d))
+           marginal(full, words_d))
 
         def full3(s):
-            lv = DC.decode_stream(s, starts_d, L, max_bb, sort=srt)
+            lv = DC.decode_stream(s, starts_d, L, max_bb, sort=srt,
+                                  total_len=total)
             planes = jax.vmap(dec_band)(lv.reshape(3, -1, L))
-            return s + dep(planes).astype(jnp.uint8)
-        tm(f"entropy+idct sort={srt}", marginal(full3, stream_d))
+            return s + dep(planes).astype(s.dtype)
+        tm(f"entropy+idct sort={srt}", marginal(full3, words_d))
     print("sort_pays_off:", DC.sort_pays_off(starts, len(stream)),
           flush=True)
 

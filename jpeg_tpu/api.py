@@ -170,7 +170,8 @@ def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
     ``nbytes_pad`` is the power-of-two padded stream size (static shape);
     ``max_bb`` the longest block in bytes (0 = worst case), which sizes the
     decode word-row gather; ``sort`` selects the length-sorted tile layout
-    (hosts pass DC.sort_pays_off over the scanned lengths)."""
+    (hosts pass DC.sort_pays_off over the scanned lengths).  ``total`` is
+    the true stream byte length (traced: it only keys the sort)."""
     from .entropy import device_codec as DC
     h, w, bs, d, transform, qname, qparams = key
     cfg = Configuration(width=w, height=h, block_size=bs, dct_size=d,
@@ -180,9 +181,9 @@ def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
     nb = cfg.num_blocks
     dec = _band.make_decode(key, dtype_name, use_pallas)
 
-    def f(stream_u8, starts):
-        levels = DC.decode_stream(stream_u8, starts, L, max_bb,
-                                  sort=sort)  # (3*nb, L)
+    def f(stream, starts, total):
+        levels = DC.decode_stream(stream, starts, L, max_bb,
+                                  sort=sort, total_len=total)  # (3*nb, L)
         planes = jax.vmap(dec)(levels.reshape(3, nb, L))
         return planes.astype(jnp.uint8)
 
@@ -391,7 +392,9 @@ def _start_decompress(bytestream: bytes, dtype):
         # the serial O(bytes) boundary scans while the bytes are in flight —
         # one band per thread (the C++ scanner releases the GIL), so the
         # host-side prelude and the h2d transfer overlap instead of stacking.
-        arr_dev = jax.device_put(arr)
+        # On the Pallas path the upload is little-endian WORDS (a free view
+        # here) so the device never pays the u8 -> u32 bitcast relayout.
+        arr_dev = jax.device_put(DC.host_stream_arg(arr))
         with ThreadPoolExecutor(max_workers=3) as pool:
             scans = list(pool.map(
                 lambda s: entropy.scan_offsets(s, nb, L), streams))
@@ -406,7 +409,7 @@ def _start_decompress(bytestream: bytes, dtype):
         fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad,
                                 DC.bucket_block_bytes(L, max_bb),
                                 DC.sort_pays_off(all_starts, len(buf)))
-        return fn(arr_dev, all_starts)
+        return fn(arr_dev, all_starts, np.int32(len(buf)))
     nb, L = config.num_blocks, config.dct_size ** 2
     with ThreadPoolExecutor(max_workers=3) as pool:
         levels = list(pool.map(

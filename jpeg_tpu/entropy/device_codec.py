@@ -652,38 +652,62 @@ def sized_entropy_default(L: int = 0) -> bool:
     return _pallas_decode_enabled()
 
 
-# Group-alignment slack words in every decode row: the grouped gather hands
-# the kernel rows that start at a 4*G-byte boundary at or before the block's
-# first byte, so up to 4*G-1 bytes of the row precede the block.  Must equal
-# ops/pallas_kernels.DEC_GROUP (asserted at the use site).
-_SLACK_WORDS = 4
+# Decode overlap-table geometry.  The stream's words are reshaped into
+# G-word groups and the table's rows OVERLAP 50%: row g covers words
+# [g*G, g*G + 2G).  A block starting anywhere in group g then fits WHOLLY
+# in row g together with its alignment slack whenever
+# (max_block_bytes + 2) // 4 <= G — so the kernel feed is ONE gather index
+# per block (measured 0.07 ms vs 0.58 ms for the per-group scheme at
+# 49k blocks; XLA TPU gather cost scales with index count).
+_DEC_G_BUCKETS = (16, 24, 32, 48, 64, 96, 128, 192, 256, 384)
+
+
+def dec_group(L: int, max_block_bytes: int = 0) -> int:
+    """Overlap-table group width G (words) for the decode gather.
+
+    Bucketed so the number of compiled programs stays small; rows narrower
+    than 16 words measured SLOWER per index (sub-cacheline fetches), so 16
+    is the floor even for tiny blocks.  0 means worst case."""
+    wc = worst_case_block_bytes(L)
+    mb = max_block_bytes if 0 < max_block_bytes < wc else wc
+    need = (mb + 2) // 4
+    for g in _DEC_G_BUCKETS:
+        if need <= g:
+            return g
+    g = _DEC_G_BUCKETS[-1]
+    while need > g:
+        g *= 2
+    return g
+
+
+def dec_weff(L: int, max_block_bytes: int = 0, G: int | None = None) -> int:
+    """Post-alignment kernel width (words): after the prologue discards the
+    in-row phase, every block's data sits in its first ceil(mb/4) words, so
+    the per-iteration funnel runs on this trimmed buffer (+1 margin, even
+    words to bound program count)."""
+    wc = worst_case_block_bytes(L)
+    mb = max_block_bytes if 0 < max_block_bytes < wc else wc
+    if G is None:
+        G = dec_group(L, max_block_bytes)
+    we = -(-(-(-mb // 4) + 1) // 2) * 2
+    return min(we, 2 * G)
 
 
 def words_per_block(L: int, max_block_bytes: int = 0) -> int:
-    """Word-row width for the Pallas decode kernel.
-
-    The kernel's per-iteration funnel-shift cost scales with the row width,
-    so the width comes from the band's ACTUAL longest block when the caller
-    knows it (host scan side-product) plus the group-alignment slack,
-    bucketed (multiples of DEC_GROUP, ~1.5x steps past 24) to bound the
-    number of compiled programs.  0 means worst case.
-    """
-    wc = worst_case_block_bytes(L)
-    full = -(-((wc + 3) // 4 + _SLACK_WORDS) // 4) * 4
-    if max_block_bytes <= 0 or max_block_bytes >= wc:
-        return full
-    w = (max_block_bytes + 3) // 4 + _SLACK_WORDS
-    for b in (8, 12, 16, 20, 24, 36):
-        if w <= b < full:
-            return b
-    return full
+    """Decode gather row width in words (= 2*dec_group: the overlap row)."""
+    return 2 * dec_group(L, max_block_bytes)
 
 
 def bucket_block_bytes(L: int, max_block_bytes: int) -> int:
-    """Static cache key for a band's longest block: the byte count whose
-    words_per_block equals the bucketed width (its own fixed point), so all
-    bands sharing a width bucket share one compiled decode program."""
-    return (words_per_block(L, max_block_bytes) - _SLACK_WORDS) * 4
+    """Static cache key for a band's longest block: the largest byte count
+    with the same decode geometry (G, Weff) — its own fixed point, so all
+    bands sharing a geometry share one compiled decode program."""
+    G = dec_group(L, max_block_bytes)
+    we = dec_weff(L, max_block_bytes, G)
+    mb = min(4 * (we - 1), 4 * G + 1, worst_case_block_bytes(L))
+    while mb > 1 and (dec_group(L, mb), dec_weff(L, mb)) != (G, we):
+        mb -= 1
+    return mb
 
 
 def _bytes_to_be_words(stream_u8, padded: int):
@@ -744,30 +768,63 @@ def sort_pays_off_from_lens(lens, tile: int = 0) -> bool:
     return int(nat - srt) > SORT_MARGIN_BYTES
 
 
-def _decode_stream_pallas(stream_u8, starts, L: int, W: int,
-                          sort: bool = True):
-    """TPU path: one GROUPED gather builds per-block stream word rows, then
-    the Mosaic kernel (ops/pallas_kernels.py:_decode_stream_kernel) decodes
-    every block in VMEM with zero per-step HBM gathers/scatters.
+def host_stream_arg(arr: np.ndarray) -> np.ndarray:
+    """Best host-side form of a stream buffer for :func:`decode_stream`.
 
-    The gather fetches (N, Wg) CONTIGUOUS G-word groups from a
-    group-reshaped word table instead of (N, W) single words — XLA TPU
-    gather cost scales with the number of indices, so this is ~G x cheaper
-    (measured 5.4 ms -> 0.1-0.3 ms for a 4 MP band).  Rows arrive
-    group-aligned; the kernel discards the per-block bit phase in VMEM.
-    ``W`` already includes the _SLACK_WORDS of group-alignment slack, so
-    the row is exactly W = (W // G) groups wide.
+    ``arr`` is the zero-padded uint8 stream (length a multiple of 4).  On
+    the Pallas path the device wants little-endian int32 words — the view
+    is free here, while the device-side u8 -> u32 bitcast measured 0.76 ms
+    for 1.3 MB (a relayout, ~250x the data's bandwidth cost); the device
+    then pays only a 5-op byteswap (~0.03 ms).  Non-Pallas backends keep
+    uint8 (the XLA fallback indexes per byte)."""
+    assert arr.dtype == np.uint8 and arr.nbytes % 4 == 0, (arr.dtype,
+                                                           arr.shape)
+    if _pallas_decode_enabled():
+        return arr.view(np.int32)
+    return arr
+
+
+def _be_word_table(stream, nbytes: int, nw: int):
+    """Stream buffer (uint8, or int32 little-endian words from
+    :func:`host_stream_arg`) -> (nw,) int32 big-endian stream words."""
+    if stream.dtype == jnp.uint8:
+        return _bytes_to_be_words(stream, 4 * nw)
+    x = stream.astype(jnp.uint32)
+    have = x.shape[0]
+    if have < nw:
+        x = jnp.concatenate([x, jnp.zeros(nw - have, jnp.uint32)])
+    else:
+        x = x[:nw]
+    w = ((x << 24) | ((x & 0xFF00) << 8)
+         | ((x >> 8) & 0xFF00) | (x >> 24))
+    return w.astype(jnp.int32)
+
+
+def _decode_stream_pallas(stream, starts, L: int, max_block_bytes: int,
+                          sort: bool = True, total_len=None):
+    """TPU path: ONE gather index per block builds the kernel's stream
+    rows from a 50%-overlapping word table, then the Mosaic kernel
+    (ops/pallas_kernels.py:_decode_stream_kernel) decodes every block in
+    VMEM with zero per-step HBM gathers/scatters.
+
+    The stream's big-endian words are reshaped into G-word groups
+    (:func:`dec_group` sizes G so a whole block plus alignment slack fits
+    in 2G words) and adjacent groups concatenate into (m-1, 2G) rows; each
+    block fetches the single row of its start group — XLA TPU gather cost
+    scales with the number of indices, so this beats the per-group scheme
+    ~8x (0.07 vs 0.58 ms at 49k blocks).  The kernel discards the in-row
+    bit phase and trims to :func:`dec_weff` rows in VMEM.
     """
     from ..ops import pallas_kernels as PK
-    G = PK.DEC_GROUP
-    assert G == _SLACK_WORDS and W % G == 0, (G, W)
+    G = dec_group(L, max_block_bytes)
+    we = dec_weff(L, max_block_bytes, G)
     gb = 4 * G                                  # bytes per group
-    n_groups = W // G
-    nbytes = stream_u8.shape[0]
-    # Zero-pad so every gathered group is in range (zeros decode as EOB —
+    nbytes = stream.shape[0] * (4 if stream.dtype != jnp.uint8 else 1)
+    # Zero-pad so every gathered row is in range (zeros decode as EOB —
     # never reached, blocks end at their own EOB).  All shapes static.
-    padded = (-(-nbytes // gb) + n_groups) * gb
-    tbl = _bytes_to_be_words(stream_u8, padded).reshape(-1, G)
+    nw = (nbytes // gb + 2) * G
+    tbl = _be_word_table(stream, nbytes, nw).reshape(-1, G)
+    tbl_ov = jnp.concatenate([tbl[:-1], tbl[1:]], axis=1)   # (m-1, 2G)
     s32 = starts.astype(jnp.int32)
     n = s32.shape[0]
     # The lockstep kernel pays each tile's LONGEST block: sorting blocks by
@@ -777,14 +834,14 @@ def _decode_stream_pallas(stream_u8, starts, L: int, W: int,
     # lengths (:func:`sort_pays_off`) and keys the compiled program.
     order = None
     if sort and n > PK.DEC_TILE:
-        lens = jnp.diff(s32, append=jnp.int32(nbytes))
+        end = (jnp.asarray(total_len, jnp.int32) if total_len is not None
+               else jnp.int32(nbytes))
+        lens = jnp.diff(s32, append=end)
         order = jnp.argsort(lens)
         s32 = jnp.take(s32, order)
-    g0 = s32 // gb
-    idx = g0[:, None] + jnp.arange(n_groups, dtype=jnp.int32)[None, :]
-    rows = tbl[idx].reshape(n, n_groups * G)
+    rows = tbl_ov[s32 // gb]                    # (n, 2G), 1 index per block
     phase = ((s32 % gb) * 8)[:, None]
-    lv = PK.decode_stream_rows(rows, phase, L)
+    lv = PK.decode_stream_rows(rows, phase, L, weff=we)
     if order is None:
         return lv
     inv = jnp.zeros(n, jnp.int32).at[order].set(
@@ -802,17 +859,22 @@ def max_block_bytes_of(starts: np.ndarray, total_len: int) -> int:
 
 
 def decode_stream(stream_u8, starts, L: int, max_block_bytes: int = 0,
-                  sort: bool = True):
+                  sort: bool = True, total_len=None):
     """Block-parallel device decode: (stream bytes, block start offsets) ->
     (N, L) int32 levels.
 
+    ``stream_u8`` may instead be int32 little-endian words
+    (:func:`host_stream_arg`): host-uploaded streams take that form so the
+    device skips the expensive u8 -> u32 bitcast relayout.
     ``max_block_bytes`` (static) tightens the per-block word-row width on
     the Pallas path — the host scan knows the longest block, and the HBM
     gather cost scales with N x width.  0 = worst case (always safe).
     ``sort`` (static) selects the length-sorted tile layout; hosts that
     know the block lengths pass :func:`sort_pays_off` — homogeneous bands
     skip the unpermute gather (~0.5 ms at 4 MP).  True (always safe) is
-    never wrong by more than that constant.
+    never wrong by more than that constant.  ``total_len`` (traced scalar,
+    optional) is the TRUE stream byte length; the sort keys the last
+    block's length against it instead of the padded buffer end.
 
     The serial part of decode — finding where each block's bitstream starts
     — happens host-side in one O(bytes) scan (entropy.scan_offsets), which
@@ -834,15 +896,20 @@ def decode_stream(stream_u8, starts, L: int, max_block_bytes: int = 0,
       the record axis.
     """
     n = starts.shape[0]
-    nbytes = stream_u8.shape[0]
+    is_words = stream_u8.dtype != jnp.uint8
+    nbytes = stream_u8.shape[0] * (4 if is_words else 1)
     if nbytes * 8 >= _CAP_BITS:
         raise ValueError(
             f"{nbytes}-byte stream exceeds the device decoder's int32 "
             f"bit-position range (~256 MiB); decode in smaller chunks")
     if _pallas_decode_enabled():
-        return _decode_stream_pallas(stream_u8, starts, L,
-                                     words_per_block(L, max_block_bytes),
-                                     sort=sort)
+        return _decode_stream_pallas(stream_u8, starts, L, max_block_bytes,
+                                     sort=sort, total_len=total_len)
+    if is_words:
+        # XLA fallback reads per byte: unpack the little-endian words (the
+        # platform bitcast restores the original byte order on LE hosts).
+        stream_u8 = jax.lax.bitcast_convert_type(
+            stream_u8.astype(jnp.uint32), jnp.uint8).reshape(-1)
     max_steps = L + L // MAX_RUN + 2
 
     # Per-byte big-endian 32-bit windows: w32[i] = bytes[i..i+4) (zero pad).

@@ -237,6 +237,12 @@ def make_decode(key: Tuple, dtype_name: str,
     combined = (transform in ("DCT", "DFT") and divisible
                 and dtype != jnp.float64)
     D = d * bs
+    if combined and use_pallas and 4 * D * D * L > (6 << 20):
+        # The Mosaic kernel holds the whole operator panel in VMEM; a
+        # combined (D*D, L) operator past ~6 MiB (e.g. d=24, bs=4: 21 MiB)
+        # cannot be resident.  Drop to the plain dezigzag+IDCT kernel and
+        # let XLA run the inflate/crop passes.
+        combined = False
     if combined:
         dec2 = T.combined_decode_operator(d, bs, transform)   # (D*D, L)
     if use_pallas:

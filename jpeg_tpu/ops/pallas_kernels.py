@@ -25,7 +25,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024  # block rows per grid step; TILE*L*4B << VMEM for any real d
+TILE = 1024  # max block rows per grid step (see _tile_rows)
+
+
+def _tile_rows(K: int, M: int) -> int:
+    """Block rows per grid step for the matmul kernels, sized so the scoped
+    VMEM working set (double-buffered in/out tiles + the f32 intermediate +
+    the resident operator panel) stays under ~12 MiB of the 16 MiB chip
+    budget.  d = 8 (K = M <= 128) keeps the full 1024; d = 24 (L = 576)
+    measured 16.47 MiB at 1024 rows — over the limit by 0.5 MiB."""
+    t = ((12 << 20) - 4 * K * M) // (12 * (K + M))
+    return max(8, min(TILE, t // 8 * 8))
+
+
 MAX_RUN = 15   # RLE zeros-chain length (reference util.py:146-154)
 MAX_SIZE = 15  # RLE size-field cap (reference util.py:156)
 
@@ -84,19 +96,20 @@ def encode_blocks(blocks_vec, op_t, mul, div, mask, interpret=None):
     n, K = blocks_vec.shape
     L = op_t.shape[1]
     vecs2 = lambda v: v.reshape(1, L).astype(jnp.float32)
-    grid = pl.cdiv(n, TILE)
+    tile = _tile_rows(K, L)
+    grid = pl.cdiv(n, tile)
     return pl.pallas_call(
         _encode_kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE, K), lambda i: (i, 0),
+            pl.BlockSpec((tile, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, L), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, L), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, L), jnp.int32),
         cost_estimate=pl.CostEstimate(
@@ -107,37 +120,37 @@ def encode_blocks(blocks_vec, op_t, mul, div, mask, interpret=None):
       vecs2(mul), vecs2(div), vecs2(mask))
 
 
-DEC_TILE = 1024  # block rows per grid step for the bitstream decode kernel
+DEC_TILE = 1024  # block columns per grid step for the bitstream decode kernel
 DEC_UNROLL = 2   # codes decoded per while-loop iteration (overhead amortizer)
-DEC_GROUP = 4    # stream words per gathered row group (G): the HBM gather
-                 # feeding the kernel fetches (N, Wg) CONTIGUOUS G-word rows
-                 # instead of (N, W) single words — XLA TPU gather cost
-                 # scales with index count, so this is ~G x cheaper (measured
-                 # 5.4 ms -> 0.1-0.3 ms for a 4 MP band at W=16).  G=4 keeps
-                 # the group-alignment slack (and so the kernel row width,
-                 # which sets the per-iteration funnel cost) small.
 
 
 def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
-                          G: int):
+                          G: int, WE: int):
     """Lockstep bitstream decode of one tile of blocks, entirely in VMEM.
 
     TRANSPOSED layout — blocks live on the LANE axis: ``words_ref`` is
-    (W, DEC_TILE) int32, column t holding block t's stream words
-    (big-endian bytes), gathered as G-word-aligned groups; ``phase_ref``
-    (1, DEC_TILE) is each block's start-bit offset within its column
-    (``phase < 32*G``).  Every per-block scalar (run, size, amp, widx,
-    done, ...) is a (1, T) lane row — at T=1024 that is 8 packed vregs per
-    op, where the previous rows layout made each a (T, 1) sublane column
-    (~128 mostly-empty vregs per op, ~16x more VPU work; measured 3-5 ms
-    vs ~1 ms for a 4 MP band).
+    (W, DEC_TILE) int32, column t holding the OVERLAP-TABLE row containing
+    block t's stream words (big-endian bytes): W = 2G words starting at
+    block t's G-word group boundary, so the whole block plus its alignment
+    slack is inside the row ((max_bb + 2) // 4 <= G, see
+    entropy/device_codec.py:dec_group).  ``phase_ref`` (1, DEC_TILE) is
+    each block's start-bit offset within its row (``phase < 32*G``).
+    Every per-block scalar (run, size, amp, widx, done, ...) is a (1, T)
+    lane row — at T=1024 that is 8 packed vregs per op, where a rows
+    layout would make each a (T, 1) sublane column (~128 mostly-empty
+    vregs per op, ~16x more VPU work; measured 3-5 ms vs ~1 ms for a
+    4 MP band).
 
-    The kernel first discards the gather phase with a log-depth sublane
-    shift + one byte funnel, then each iteration decodes the code at
-    word-row 0's top bits and funnel-shifts every column up by its
-    consumed bit count, so the bitstream flows THROUGH static positions:
-    no dynamic indexing anywhere — the HBM gathers/scatters that made the
-    XLA formulations 100x off roofline (126-331 ms for 4 MP) are gone.
+    The kernel first discards the alignment phase with a log-depth sublane
+    shift + one byte funnel, then TRIMS the buffer to ``WE`` rows — after
+    alignment every block's data sits in its first ceil(max_bb/4) words,
+    so the per-iteration funnel never pays the slack half of the row
+    (measured 0.31 -> 0.19 ms for a 4.2 MP band at W=32, WE=12).  Each
+    iteration decodes the code at word-row 0's top bits and funnel-shifts
+    every column up by its consumed bit count, so the bitstream flows
+    THROUGH static positions: no dynamic indexing anywhere — the HBM
+    gathers/scatters that made the XLA formulations 100x off roofline
+    (126-331 ms for 4 MP) are gone.
 
     All columns advance one code per iteration; a tile exits as soon as
     every column hit EOB, so sparse content pays its own code count, not
@@ -196,10 +209,10 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
                 words, phase, widx, done, out)
         return step + DEC_UNROLL, words, phase, widx, done, out
 
-    # Alignment prologue: discard the group phase so the first code sits at
+    # Alignment prologue: discard the in-row phase so the first code sits at
     # word-row 0's top bit.  Word shifts are log-depth static slices +
     # selects; the residual byte shift is one funnel (>> 32 is UB, hence
-    # >>31>>1).
+    # >>31>>1).  The trimmed WE-row buffer then carries the whole loop.
     words = words_ref[:].astype(jnp.uint32)
     ph = phase_ref[:]                       # (1, T) int32, bits, < 32*G
     wsh = ph >> 5                           # whole-word part, [0, G)
@@ -217,6 +230,7 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
     b = (ph & 31).astype(jnp.uint32)        # byte part, {0, 8, 16, 24}
     wnext = jnp.concatenate([words[1:, :], zrow], axis=0)
     words = (words << b) | ((wnext >> (jnp.uint32(31) - b)) >> 1)
+    words = words[:WE]                      # data fits: see docstring
 
     init = (jnp.int32(0),
             words,
@@ -228,20 +242,24 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
     out_ref[:] = out
 
 
-def decode_stream_rows(word_rows, phase, L: int, group: int = DEC_GROUP,
+def decode_stream_rows(word_rows, phase, L: int, weff: int = 0,
                        interpret=None):
-    """(N, W) int32 group-aligned stream words + (N, 1) bit phases ->
-    (N, L) int32 levels.  ``phase[i] < 32*group`` is the bit offset of
+    """(N, W = 2G) int32 overlap-table stream rows + (N, 1) bit phases ->
+    (N, L) int32 levels.  ``phase[i] < 32*(W//2)`` is the bit offset of
     block i's first code within its row.
 
     The kernel runs transposed (blocks on lanes); the XLA transposes on
     either side are cheap relayout passes.  Inputs are zero-padded to a
     whole number of tiles — zero words decode as an immediate EOB, so pad
-    columns never extend a tile's lockstep loop.
+    columns never extend a tile's lockstep loop.  ``weff`` trims the
+    post-alignment buffer (entropy/device_codec.py:dec_weff); 0 keeps all
+    W rows (always safe).
     """
     if interpret is None:
         interpret = _interpret()
     n, W = word_rows.shape
+    if weff <= 0 or weff > W:
+        weff = W
     grid = pl.cdiv(n, DEC_TILE)
     npad = grid * DEC_TILE
     if npad != n:
@@ -249,7 +267,8 @@ def decode_stream_rows(word_rows, phase, L: int, group: int = DEC_GROUP,
             [word_rows, jnp.zeros((npad - n, W), word_rows.dtype)], axis=0)
         phase = jnp.concatenate(
             [phase, jnp.zeros((npad - n, 1), phase.dtype)], axis=0)
-    kern = functools.partial(_decode_stream_kernel, L=L, W=W, G=group)
+    kern = functools.partial(_decode_stream_kernel, L=L, W=W, G=W // 2,
+                             WE=weff)
     out = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -637,17 +656,18 @@ def decode_blocks(levels, w_t, deq, interpret=None):
         interpret = _interpret()
     n, K = levels.shape
     M = w_t.shape[1]
-    grid = pl.cdiv(n, TILE)
+    tile = _tile_rows(K, M)
+    grid = pl.cdiv(n, tile)
     return pl.pallas_call(
         _decode_kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE, K), lambda i: (i, 0),
+            pl.BlockSpec((tile, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, M), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, M), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, M), jnp.int32),
         cost_estimate=pl.CostEstimate(

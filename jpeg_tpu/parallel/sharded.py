@@ -258,7 +258,8 @@ def decompress_plane(data: bytes, config: Configuration, mesh,
         # Start the (replicated) stream upload before the serial boundary
         # scan: device_put is async, so the h2d transfer rides under the
         # O(bytes) host scan instead of serializing after it.
-        arr_dev = jax.device_put(arr, NamedSharding(flat, P()))
+        arr_dev = jax.device_put(DC.host_stream_arg(arr),
+                                 NamedSharding(flat, P()))
         starts = entropy.scan_offsets(data, nb, L)     # validates the stream
         bucket_bb = DC.bucket_block_bytes(
             L, DC.max_block_bytes_of(starts, len(data)))
@@ -271,18 +272,21 @@ def decompress_plane(data: bytes, config: Configuration, mesh,
             lv_sh = NamedSharding(flat, mesh_lib.fit_spec(
                 (nb, L), flat, P(mesh_lib.BAND_AXIS, None)))
 
-            def step(stream_u8, starts_arr):
+            def step(stream, starts_arr, total):
                 # Stream/starts replicate (compressed bytes are small);
                 # the lockstep bit parse and IDCT shard over block rows.
-                levels = DC.decode_stream(stream_u8, starts_arr, L,
-                                          bucket_bb, sort=srt)
+                levels = DC.decode_stream(stream, starts_arr, L,
+                                          bucket_bb, sort=srt,
+                                          total_len=total)
                 levels = jax.lax.with_sharding_constraint(levels, lv_sh)
                 return decode_one(levels)
 
             fn = jax.jit(step, in_shardings=(NamedSharding(flat, P()),
+                                             NamedSharding(flat, P()),
                                              NamedSharding(flat, P())))
             _PLANE_FNS[cache_key] = fn
-        return np.asarray(fn(arr_dev, starts.astype(np.int32)))
+        return np.asarray(fn(arr_dev, starts.astype(np.int32),
+                             np.int32(len(data))))
 
     # Host entropy decode (C++/NumPy), then the sharded IDCT path.
     levels = entropy.decode_levels(bytes(data), nb, L)
@@ -547,8 +551,9 @@ def _shard_stream_slices(flat_streams: Sequence[bytes],
     concatenated batch stream would replicate to every device (8x HBM for
     a multi-GB batch on a real slice).
 
-    Returns ``(slices (ndev, sw) uint8, local_starts (ndev, Nd) int32)``
-    where ``sw`` is the pow2-bucketed longest slice.  The flat block count
+    Returns ``(slices (ndev, sw) uint8, local_starts (ndev, Nd) int32,
+    slice_lens (ndev, 1) int32)`` where ``sw`` is the pow2-bucketed longest
+    slice and ``slice_lens`` each shard's TRUE byte count.  The flat block count
     pads to a multiple of ndev with dummy blocks pointing at a trailing
     zero byte (a 0x00 stream decodes as immediate EOB -> an all-zero
     block); callers drop the padded tail.  Slice padding bytes are zero.
@@ -583,7 +588,7 @@ def _shard_stream_slices(flat_streams: Sequence[bytes],
     for k in range(ndev):
         slices[k, :hi[k] - lo[k]] = view[lo[k]:hi[k]]
     local = (gstarts.reshape(ndev, nd) - lo[:, None]).astype(np.int32)
-    return slices, local
+    return slices, local, (hi - lo).astype(np.int32)[:, None]
 
 
 def _decompress_batch_device(flat_streams: List[bytes],
@@ -609,7 +614,9 @@ def _decompress_batch_device(flat_streams: List[bytes],
     srt = DC.sort_pays_off_from_lens(np.concatenate(
         [np.diff(sc, append=len(s)) for s, sc in zip(flat_streams, scans)]))
     ndev = int(mesh.devices.size)
-    slices, local_starts = _shard_stream_slices(flat_streams, scans, ndev)
+    slices, local_starts, slice_lens = _shard_stream_slices(
+        flat_streams, scans, ndev)
+    slices = DC.host_stream_arg(slices.reshape(-1)).reshape(ndev, -1)
     n = b * 3 * nb
 
     dt = np.dtype(dtype if dtype is not None else band_ops.default_dtype())
@@ -630,20 +637,21 @@ def _decompress_batch_device(flat_streams: List[bytes],
             P(mesh_lib.DATA_AXIS, None, mesh_lib.BAND_AXIS, None)))
         in_sh = NamedSharding(mesh, P(both, None))
 
-        def parse_local(sl, st):
+        def parse_local(sl, st, tl):
             return DC.decode_stream(sl[0], st[0], L, bucket_bb,
-                                    sort=srt)[None]
+                                    sort=srt, total_len=tl[0, 0])[None]
 
-        def step(sl, st):
+        def step(sl, st, tl):
             lv = jax.shard_map(parse_local, mesh=mesh,
-                               in_specs=(P(both, None), P(both, None)),
-                               out_specs=P(both, None, None))(sl, st)
+                               in_specs=(P(both, None), P(both, None),
+                                         P(both, None)),
+                               out_specs=P(both, None, None))(sl, st, tl)
             levels = jax.lax.with_sharding_constraint(
                 lv.reshape(-1, L)[:n].reshape(b, 3, nb, L), lv_sh)
             planes = jax.vmap(jax.vmap(decode_one))(levels)
             return planes.astype(jnp.uint8)          # (B, 3, H, W)
 
-        fn = jax.jit(step, in_shardings=(in_sh, in_sh))
+        fn = jax.jit(step, in_shardings=(in_sh, in_sh, in_sh))
         _BATCH_FNS[cache_key] = fn
-    planes = np.asarray(fn(slices, local_starts))
+    planes = np.asarray(fn(slices, local_starts, slice_lens))
     return planes.transpose(0, 2, 3, 1)

@@ -197,22 +197,26 @@ def test_pallas_decode_kernel_edge_sizes(monkeypatch):
         np.testing.assert_array_equal(got, levels)
 
 
-def test_words_per_block_buckets():
-    assert DC.words_per_block(64, 0) == 52          # worst case (185 B)
-    assert DC.words_per_block(64, 300) == 52        # > wc clamps to full
-    assert DC.words_per_block(64, 13) == 8
-    assert DC.words_per_block(64, 20) == 12
-    assert DC.words_per_block(64, 25) == 12
-    assert DC.words_per_block(64, 43) == 16
-    assert DC.words_per_block(64, 60) == 20
-    assert DC.words_per_block(64, 120) == 36
-    assert DC.words_per_block(64, 160) == 52        # past 36 clamps to full
-    # every width is a whole number of gather groups
-    for mb in (0, 5, 20, 60, 120, 185):
-        W = DC.words_per_block(64, mb)
-        assert W % DC._SLACK_WORDS == 0
-        # bucket fixed point: bucket_block_bytes maps back to the same W
-        assert DC.words_per_block(64, DC.bucket_block_bytes(64, mb)) == W
+def test_decode_geometry_buckets():
+    # worst case for L=64 is 185 bytes: need (185+2)//4 = 46 -> G bucket 48
+    assert DC.dec_group(64, 0) == 48 and DC.dec_weff(64, 0) == 48
+    assert DC.words_per_block(64, 0) == 96          # overlap row = 2G
+    assert DC.dec_group(64, 300) == 48              # > wc clamps to full
+    assert DC.dec_group(64, 13) == 16 and DC.dec_weff(64, 13) == 6
+    assert DC.dec_group(64, 43) == 16 and DC.dec_weff(64, 43) == 12
+    assert DC.dec_group(64, 66) == 24
+    assert DC.dec_group(64, 120) == 32
+    for mb in (1, 5, 20, 60, 120, 185):
+        G = DC.dec_group(64, mb)
+        # a block starting anywhere in its group fits wholly in the 2G row
+        assert (mb + 2) // 4 <= G
+        # the trimmed kernel width still covers the block's bytes
+        assert DC.dec_weff(64, mb) * 4 >= mb
+        # bucket fixed point: same compiled geometry, never below mb
+        b = DC.bucket_block_bytes(64, mb)
+        assert b >= mb
+        assert (DC.dec_group(64, b), DC.dec_weff(64, b)) == \
+            (G, DC.dec_weff(64, mb))
 
 
 def test_pallas_decode_dynamic_width(monkeypatch):

@@ -330,7 +330,7 @@ def test_shard_stream_slices_addressable_bytes():
         scans.append(entropy.scan_offsets(s, nb, L))
     total = sum(len(s) for s in streams)
     ndev = 8
-    slices, local = _shard_stream_slices(streams, scans, ndev)
+    slices, local, slens = _shard_stream_slices(streams, scans, ndev)
     assert slices.shape[0] == ndev and local.shape == (ndev, 6 * nb // ndev)
     # each shard addresses far less than the whole stream
     assert slices.shape[1] * 4 <= total
@@ -347,6 +347,8 @@ def test_shard_stream_slices_addressable_bytes():
             blk = buf[gstarts[g]:ends[g]]
             lo = local[k, j]
             assert slices[k, lo:lo + len(blk)].tobytes() == blk
+        # true slice length covers the shard's last real block
+        assert slens[k, 0] >= local[k, -1]
 
 
 def test_shard_stream_slices_uneven_blocks():
@@ -361,7 +363,7 @@ def test_shard_stream_slices_uneven_blocks():
         s = entropy.encode_levels(lv)
         streams.append(s)
         scans.append(entropy.scan_offsets(s, nb, L))
-    slices, local = _shard_stream_slices(streams, scans, 8)
+    slices, local, slens = _shard_stream_slices(streams, scans, 8)
     assert local.shape == (8, 2)             # 15 -> 16 blocks, 2 per shard
     # the dummy block's slice byte is 0x00 = immediate EOB
     k, j = 7, 1
