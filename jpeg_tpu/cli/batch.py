@@ -115,6 +115,72 @@ def run(indir: str, outdir: str, args, mesh=None) -> Metrics:
     return metrics
 
 
+def run_distributed(indir: str, outdir: str, args) -> Metrics:
+    """Multi-host DP batch encode (BASELINE config 5's shape): process p
+    owns the pending images with index % nproc == p, encodes them on its
+    own devices, and writes only its own outputs; per-image byte counts
+    cross DCN as a manifest so every host reports identical global metrics
+    (parallel/multihost.py:compress_batch_distributed).
+
+    Assumes every process sees the same ``indir`` listing and output
+    existence (shared filesystem, or rsync'd replicas) — ownership is
+    derived from the shared pending order.
+    """
+    import jax
+    from ..parallel import multihost
+
+    os.makedirs(outdir, exist_ok=True)
+    paths = sorted(
+        os.path.join(indir, f) for f in os.listdir(indir)
+        if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
+    metrics = Metrics()
+    quant = quantization_from_args(args)
+    pid, nproc = jax.process_index(), jax.process_count()
+
+    groups, errors = _group_by_size(paths)
+    for p, why in errors.items():
+        print(f"SKIP {p}: {why}", file=sys.stderr)
+    metrics.failures += len(errors)
+
+    for (h, w), members in sorted(groups.items()):
+        config = Configuration(width=w, height=h, block_size=args.block_size,
+                               dct_size=args.dct_size,
+                               transform=args.transform, quantization=quant)
+        pending = []
+        for p in members:
+            out = os.path.join(
+                outdir, os.path.splitext(os.path.basename(p))[0] + ".jc")
+            if os.path.exists(out) and not args.force:
+                if pid == 0:
+                    print(f"RESUME-SKIP {out} exists", file=sys.stderr)
+                continue
+            pending.append((p, out))
+        if not pending:
+            continue
+
+        t0 = time.perf_counter()
+        loaders = [(lambda q=p: _load_ycbcr(q)) for p, _ in pending]
+        blobs, manifest = multihost.compress_batch_distributed(
+            loaders, config, verify=args.verify)
+        dt = time.perf_counter() - t0
+
+        n_ok = int(manifest[:, 1].sum())
+        for i, ((p, out), blob) in enumerate(zip(pending, blobs)):
+            if blob is not None:
+                with open(out, "wb") as f:
+                    f.write(blob)
+                if args.verbose:
+                    print(f"OK {p} -> {out} ({len(blob)} bytes)",
+                          file=sys.stderr)
+            if manifest[i, 1]:
+                q = manifest[i, 2] / 1000 if manifest[i, 2] >= 0 else None
+                metrics.add_image(h, w, int(manifest[i, 0]),
+                                  dt / max(1, n_ok), q)
+            else:
+                metrics.failures += 1
+    return metrics
+
+
 def run_decompress(indir: str, outdir: str, args) -> Metrics:
     """Batch decode: .jc containers -> .png, resumable and skip-and-report.
 
@@ -199,6 +265,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="batch same-size images through the device mesh")
     p.add_argument("--decompress", action="store_true",
                    help="decode .jc containers back to .png instead")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host DP over the image set: run one process "
+                        "per host with --coordinator/--nproc/--procid; "
+                        "process p encodes images with index %% nproc == p")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 (jax.distributed)")
+    p.add_argument("--nproc", type=int, default=None)
+    p.add_argument("--procid", type=int, default=None)
     return p
 
 
@@ -206,6 +280,17 @@ def main(argv=None) -> int:
     from ..utils.jit_cache import enable_persistent_cache
     enable_persistent_cache()
     args = build_parser().parse_args(argv)
+    if os.environ.get("JPEG_TPU_CPU"):
+        # Test/dev hook: the environment's sitecustomize ignores
+        # JAX_PLATFORMS, so multi-process CLI tests force CPU here.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        from ..parallel import multihost
+        multihost.initialize(args.coordinator, args.nproc, args.procid)
+        metrics = run_distributed(args.indir, args.outdir, args)
+        print(metrics.json_line())
+        return 1 if metrics.failures else 0
     if args.decompress:
         metrics = run_decompress(args.indir, args.outdir, args)
         print(metrics.json_line())

@@ -28,6 +28,15 @@ def synth_plane(h, w):
                    + 25 * np.sin((x + 2 * y) / 11.0), 0, 255).astype(int)
 
 
+def synth_image(h, w, seed):
+    """(H, W, 3) uint8 YCbCr image, content varied by seed."""
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    bands = [np.clip(128 + 70 * np.sin(x / (5 + seed + k))
+                     * np.cos(y / (7 + 2 * k)) + 10 * seed, 0, 255)
+             for k in range(3)]
+    return np.stack(bands, axis=-1).astype(np.uint8)
+
+
 def main():
     coordinator, nproc, pid, outdir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
@@ -58,6 +67,30 @@ def main():
         # stitch), host-local reconstructed rows out.
         local_rows = multihost.decompress_plane_distributed(stream, cfg, mesh)
         np.save(os.path.join(outdir, f"rows_{name}_{pid}.npy"), local_rows)
+
+    # Batch phase: pure-DP multi-host batch encode (BASELINE config 5's
+    # shape) — per-host image ownership, manifest-only DCN traffic.
+    bh, bw = 40, 56
+    cfg = Configuration(width=bw, height=bh, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    # Lazy loaders: only OWNED images may ever be materialized; a non-owned
+    # loader raising would fail the run.
+    B = 5
+
+    def loader(i):
+        def load():
+            assert i % nproc == pid, f"process {pid} loaded foreign image {i}"
+            return synth_image(bh, bw, i)
+        return load
+
+    blobs, manifest = multihost.compress_batch_distributed(
+        [loader(i) for i in range(B)], cfg, verify=True)
+    np.save(os.path.join(outdir, f"manifest_{pid}.npy"), manifest)
+    for i, blob in enumerate(blobs):
+        assert (blob is not None) == (i % nproc == pid), (i, pid)
+        if blob is not None:
+            with open(os.path.join(outdir, f"batch_{i}.bin"), "wb") as f:
+                f.write(blob)
     print("child done", pid, flush=True)
 
 

@@ -155,3 +155,64 @@ def test_batch_decompress_roundtrip(tmp_path):
         f.unlink()
     m3 = batch.run_decompress(str(cdir), str(rdir), args)
     assert m3.failures == 1 and m3.images == 3
+
+
+def test_batch_cli_distributed_two_process(tmp_path):
+    """REAL 2-process `--distributed` CLI run over localhost DCN: each
+    process writes only its owned outputs; the union equals a serial run
+    byte-for-byte and both metrics lines agree on global bytes."""
+    import socket
+    import subprocess
+    import sys
+
+    indir, outdir = tmp_path / "in", tmp_path / "dist"
+    indir.mkdir()
+    for i, (h, w) in enumerate([(24, 32), (24, 32), (16, 16), (24, 32)]):
+        _write_png(indir / f"img{i}.png", h, w)
+
+    # serial reference
+    serial_out = tmp_path / "serial"
+    m = _run(indir, serial_out, "--block_size", "2")
+    assert m.failures == 0
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["JPEG_TPU_CPU"] = "1"
+    # parity mode, to match the serial reference encoded under conftest's
+    # x64 pin (fast f32 would round a few coefficients differently)
+    env["JAX_ENABLE_X64"] = "1"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "jpeg_tpu.cli.batch",
+             str(indir), str(outdir), "--block_size", "2", "--distributed",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--nproc", "2", "--procid", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=repo)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"proc {p.args[-1]} failed:\n{out}"
+
+    # union of per-process outputs == serial blobs, byte-for-byte
+    assert sorted(os.listdir(outdir)) == sorted(os.listdir(serial_out))
+    for f in os.listdir(serial_out):
+        assert (outdir / f).read_bytes() == (serial_out / f).read_bytes(), f
+    # both processes report the same global byte count
+    lines = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    assert lines[0]["compressed_bytes"] == lines[1]["compressed_bytes"]
+    assert lines[0]["images"] == 4

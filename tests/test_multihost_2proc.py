@@ -87,3 +87,55 @@ def test_two_process_distributed_stitch(tmp_path):
         else:
             got = np.concatenate(rows, axis=0)
             np.testing.assert_array_equal(got, want_plane), name
+
+    # Batch phase (BASELINE config 5's shape): per-host image ownership,
+    # manifest-only DCN traffic; blobs byte-equal the serial encoder.
+    from _multihost_child import synth_image
+    bh, bw = 40, 56
+    bcfg = Configuration(width=bw, height=bh, block_size=2, dct_size=8,
+                         quantization=QuantizationMethod("qtable"))
+    manifests = [np.load(tmp_path / f"manifest_{pid}.npy")
+                 for pid in range(nproc)]
+    np.testing.assert_array_equal(manifests[0], manifests[1])
+    for i in range(5):
+        want_blob = api.compress_ycbcr(synth_image(bh, bw, i), bcfg)
+        got = (tmp_path / f"batch_{i}.bin").read_bytes()
+        assert got == want_blob, f"batch image {i} differs from serial"
+        assert manifests[0][i, 0] == len(want_blob)
+        assert manifests[0][i, 1] == 1
+        assert manifests[0][i, 2] > 20000          # PSNR > 20 dB (milli-dB)
+
+
+@pytest.mark.skipif(os.environ.get("JPEG_TPU_SLOW_TESTS") != "1",
+                    reason="4-process spawn is slow; JPEG_TPU_SLOW_TESTS=1")
+def test_four_process_distributed_stitch(tmp_path):
+    """nproc=4 (16 virtual devices): same assertions as the 2-process case
+    for the plane stitch and the batch driver."""
+    nproc = 4
+    procs, outs = _spawn(nproc, str(tmp_path), _free_port())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"child {p.args[-2]} failed:\n{out}"
+
+    from jpeg_tpu import api
+    from jpeg_tpu.config import Configuration, QuantizationMethod
+    sys.path.insert(0, HERE)
+    from _multihost_child import synth_plane, synth_image
+
+    h, w = 128, 128
+    cfg = Configuration(width=w, height=h, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    want = api.compress_band(synth_plane(h, w), cfg)
+    streams = [(tmp_path / f"stream_sharded_{pid}.bin").read_bytes()
+               for pid in range(nproc)]
+    assert all(s == want for s in streams)
+
+    manifests = [np.load(tmp_path / f"manifest_{pid}.npy")
+                 for pid in range(nproc)]
+    bh, bw = 40, 56
+    bcfg = Configuration(width=bw, height=bh, block_size=2, dct_size=8,
+                         quantization=QuantizationMethod("qtable"))
+    for m in manifests[1:]:
+        np.testing.assert_array_equal(manifests[0], m)
+    for i in range(5):
+        want_blob = api.compress_ycbcr(synth_image(bh, bw, i), bcfg)
+        assert (tmp_path / f"batch_{i}.bin").read_bytes() == want_blob
