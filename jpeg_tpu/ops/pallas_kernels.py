@@ -158,6 +158,10 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
     """
     max_steps = L + L // MAX_RUN + 2
     T = DEC_TILE
+    # The out plane stays int32: an int16 plane would halve the vregs of
+    # the dominant (L, T) compare+select, but Mosaic cannot legalize the
+    # packed-i16 select mask ("invalid relayout ... vector<64x1024xi1>"
+    # when the (1, T) store row broadcasts against the packed plane).
     cols = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0)
     zrow = jnp.zeros((1, T), jnp.uint32)
 
