@@ -12,6 +12,7 @@ and the per-call dispatch/RTT constant (~35-85 ms through the tunnel)
 cancels in the difference.
 
 Usage:  python benchmarks/device_profile.py [H W] [--json out.json]
+          [--dct D] [--bs B] [--quant qtable|divide|none] [--qdivisor N]
 """
 from __future__ import annotations
 
@@ -65,18 +66,29 @@ def marginal(body, init) -> float:
 
 
 def main() -> None:
-    out_json = None
     rest = list(sys.argv[1:])
-    if "--json" in rest:
-        i = rest.index("--json")
-        out_json = rest[i + 1]
-        del rest[i:i + 2]
+
+    def flag(name, default):
+        if name in rest:
+            i = rest.index(name)
+            v = rest[i + 1]
+            del rest[i:i + 2]
+            return v
+        return default
+
+    out_json = flag("--json", None)
+    dct = int(flag("--dct", 8))
+    bs = int(flag("--bs", 2))
+    quant = flag("--quant", "qtable" if dct == 8 else "divide")
+    qdivisor = float(flag("--qdivisor", 1000))
     argv = [a for a in rest if not a.startswith("--")]
     h = int(argv[0]) if len(argv) > 0 else 2048
     w = int(argv[1]) if len(argv) > 1 else 2048
 
-    cfg = Configuration(width=w, height=h, block_size=2, dct_size=8,
-                        quantization=QuantizationMethod("qtable"))
+    qm = (QuantizationMethod("divide", divisor=qdivisor)
+          if quant == "divide" else QuantizationMethod(quant))
+    cfg = Configuration(width=w, height=h, block_size=bs, dct_size=dct,
+                        quantization=qm)
     rng = np.random.default_rng(0)
     yx = np.mgrid[0:h, 0:w]
     plane = np.clip(128 + 70 * np.sin(yx[1] / 17.0) * np.cos(yx[0] / 23.0)
@@ -239,6 +251,38 @@ def main() -> None:
         return st + dep(p)
 
     record("fused_dec", marginal(fused_dec, st_d), stream_b + starts_b + plane_b)
+
+    # Device-resident round trip: planes -> coefficients -> bitstream ->
+    # coefficients -> planes in ONE program, stream never leaving HBM.
+    # Block starts come from the encoder's own byte counts (exclusive
+    # cumsum), not a host scan — the on-device analog of the full
+    # compress_band/decompress_band pair (reference pipeline/__init__.py:71-88).
+    def roundtrip(p):
+        lv = enc(p).reshape(-1, L)
+        buf, bb = DC.encode_stream(lv)
+        st = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(bb)[:-1].astype(jnp.int32)])
+        lv2 = DC.decode_stream(buf, st, L, bucket_bb,
+                               total_len=bb.sum().astype(jnp.int32))
+        p2 = jax.vmap(dec)(lv2.reshape(3, nb, L))
+        return p + dep(p2).astype(dtp)
+
+    # correctness gate: the round trip reproduces the decoded planes
+    def rt_planes(p):
+        lv = enc(p).reshape(-1, L)
+        buf, bb = DC.encode_stream(lv)
+        st = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(bb)[:-1].astype(jnp.int32)])
+        lv2 = DC.decode_stream(buf, st, L, bucket_bb,
+                               total_len=bb.sum().astype(jnp.int32))
+        return jax.vmap(dec)(lv2.reshape(3, nb, L))
+
+    planes_ref = np.asarray(jax.jit(
+        lambda lv: jax.vmap(dec)(lv.reshape(3, nb, L)))(lv_d))
+    got_rt = np.asarray(jax.jit(rt_planes)(pl_d))
+    assert np.array_equal(got_rt, planes_ref), "device round trip mismatch"
+    record("roundtrip", marginal(roundtrip, pl_d),
+           2 * plane_b + 2 * stream_b + 2 * bb_b + levels_b)
 
     if out_json:
         with open(out_json, "w") as f:

@@ -34,10 +34,14 @@ starts small enough to brute-force:
     construction; when it doesn't, the caller reruns the host scanner to
     raise its canonical error.
 
-Everything is static-shaped, gather + elementwise XLA (no Pallas needed:
-the per-step gather is the whole cost), so the same program runs on CPU
-for tests and on TPU in production.  Opt in with ``JPEG_TPU_DEVICE_SCAN=1``
-(see :func:`scan_offsets_hybrid`).
+Phase 1 has two implementations: a Mosaic funnel-shift walker
+(ops/pallas_kernels.py:_scan_walk_kernel — each byte position gets a lane
+column fed by the same overlap-table row gather as the decode kernel, so
+the per-unit HBM gather of the XLA formulation disappears; measured 156 ms
+-> ~4 ms per 340 KB band) used whenever the Pallas path is enabled, and the
+original static-shaped gather+elementwise XLA walk as the portable
+fallback.  Phase 2/3 are gather + elementwise XLA everywhere.  Opt in with
+``JPEG_TPU_DEVICE_SCAN=1`` (see :func:`scan_offsets_hybrid`).
 """
 from __future__ import annotations
 
@@ -55,21 +59,95 @@ def _max_units(L: int) -> int:
     return L + L // MAX_RUN + 2
 
 
-@functools.partial(jax.jit, static_argnames=("num_blocks", "L"))
-def scan_table_and_starts(stream_u8, n_bytes, num_blocks: int, L: int):
+def _worst_span(L: int) -> int:
+    """Worst-case bytes a walker can consume: a GARBAGE walker (mid-block
+    byte) can eat up to L codes (each advances the coefficient index) of
+    23 bits plus L//15 + 1 unchecked zero-chains plus the EOB byte and
+    pad."""
+    return (23 * L + 8 * (L // MAX_RUN + 1) + 8 + 7) // 8
+
+
+def _scan_geometry(L: int, span_cap: int = 0):
+    """(G, Weff, span) for the walker kernel's overlap-row gather.
+
+    ``span_cap`` > 0 trims the per-walker window below the worst case:
+    walkers consuming more than ``span_cap`` bytes hit the rem cap and
+    absorb to ERR, which is always SAFE (the orbit validation fails and
+    the caller escalates to a wider rung) — phase-1 shift cost and the
+    row-gather width both scale with the span, and real blocks are far
+    shorter than the garbage-walker worst case."""
+    from .device_codec import _DEC_G_BUCKETS
+    span = _worst_span(L)
+    if span_cap > 0:
+        span = min(span, span_cap)
+    need = (span + 2) // 4
+    G = None
+    for g in _DEC_G_BUCKETS:
+        if need <= g:
+            G = g
+            break
+    if G is None:
+        G = _DEC_G_BUCKETS[-1]
+        while need > G:
+            G *= 2
+    we = min(-(-span // 4) + 1, 2 * G)
+    return G, we, span
+
+
+def _walker_table_pallas(stream, P: int, nbits, L: int, span_cap: int = 0):
+    """Phase 1 via the Mosaic walker: E[q] = end byte of the block starting
+    at byte q (ERR sentinel P+1 for malformed/garbage/past-the-end — and,
+    when ``span_cap`` trims the window, for any walker consuming more)."""
+    from ..ops import pallas_kernels as PK
+    from .device_codec import _be_word_table
+    G, we, span = _scan_geometry(L, span_cap)
+    gb = 4 * G
+    nw = (P // gb + 2) * G
+    tbl = _be_word_table(stream, P, nw).reshape(-1, G)
+    tbl_ov = jnp.concatenate([tbl[:-1], tbl[1:]], axis=1)
+    q = jnp.arange(P, dtype=jnp.int32)
+    rows = tbl_ov[q // gb]
+    phase = ((q % gb) * 8)[:, None]
+    rem = (nbits.astype(jnp.int32) - q * 8)[:, None]
+    if span < _worst_span(L):
+        # Trimmed window: walkers needing more than span bytes must ERR
+        # (never read zeros shifted in past the row) — cap the bits they
+        # are allowed to consume at what the row provably covers.
+        rem = jnp.minimum(rem, jnp.int32(8 * span))
+    blen = PK.scan_walk_rows(rows, phase, rem, L, weff=we)
+    ERR = jnp.int32(P + 1)
+    return jnp.where(blen >= 0, q + blen, ERR)
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "L", "span_cap"))
+def scan_table_and_starts(stream, n_bytes, num_blocks: int, L: int,
+                          span_cap: int = 0):
     """(padded stream bytes, true length) -> (starts (num_blocks,) i32, ok).
 
-    ``stream_u8`` is the zero-padded stream (static shape P >= n_bytes);
-    ``n_bytes`` is the true length (traced scalar).  ``ok`` is a scalar
-    bool; ``starts`` is meaningful only when ``ok`` is True.
+    ``stream`` is the zero-padded stream — uint8 bytes, or int32
+    little-endian words (device_codec.host_stream_arg) on the Pallas path —
+    of static byte size P >= n_bytes; ``n_bytes`` is the true length
+    (traced scalar).  ``ok`` is a scalar bool; ``starts`` is meaningful
+    only when ``ok`` is True.
     """
-    P = stream_u8.shape[0]
+    from .device_codec import _pallas_decode_enabled
+    is_words = stream.dtype != jnp.uint8
+    P = stream.shape[0] * (4 if is_words else 1)
     ERR = jnp.int32(P + 1)
     nbits = n_bytes.astype(jnp.int32) * 8
 
+    if _pallas_decode_enabled():
+        E = jnp.concatenate([
+            _walker_table_pallas(stream, P, nbits, L, span_cap),
+            jnp.full(2, ERR, jnp.int32)])
+        return _orbit_starts(E, n_bytes, num_blocks, ERR)
+
+    if is_words:
+        stream = jax.lax.bitcast_convert_type(
+            stream.astype(jnp.uint32), jnp.uint8).reshape(-1)
     # 16-bit big-endian windows: any 8-bit header at bit position p lives in
     # w16[p >> 3] >> (8 - (p & 7)).  One shift+or pass, no per-step packing.
-    b = jnp.concatenate([stream_u8.astype(jnp.int32),
+    b = jnp.concatenate([stream.astype(jnp.int32),
                          jnp.zeros(1, jnp.int32)])
     w16 = (b[:-1] << 8) | b[1:]
 
@@ -117,8 +195,24 @@ def scan_table_and_starts(stream_u8, n_bytes, num_blocks: int, L: int):
     E = jnp.concatenate([
         jnp.where(done & ~err, pos >> 3, ERR),
         jnp.full(2, ERR, jnp.int32)])
+    return _orbit_starts(E, n_bytes, num_blocks, ERR)
 
-    # --- Phase 2: orbit of 0 under E by pointer doubling ------------------
+
+def _orbit_starts(E, n_bytes, num_blocks: int, ERR):
+    """Phases 2 + 3: orbit of 0 under the end-table E, plus the
+    single-scalar stream validation.
+
+    Two implementations: a VMEM-resident serial chase kernel
+    (ops/pallas_kernels.py:_chase_kernel) whenever Pallas is enabled and E
+    fits VMEM — pointer chasing is latency-bound, so nb register-speed
+    steps beat P*log2(nb) HBM gather work (measured 49 ms -> ~2 ms for a
+    0.5 MB table) — and the pointer-doubling square-and-gather join as the
+    portable/large-stream fallback."""
+    from ..ops import pallas_kernels as PK
+    from .device_codec import _pallas_decode_enabled
+    if (_pallas_decode_enabled() and num_blocks > 0
+            and 4 * E.shape[0] <= PK.CHASE_VMEM_CAP):
+        return PK.chase_starts(E, n_bytes, num_blocks)
     rounds = max(1, int(np.ceil(np.log2(num_blocks + 1))))
     nb_pad = 1 << rounds
     orbit = jnp.zeros(nb_pad, jnp.int32)          # orbit[0] = 0 = s_0
@@ -138,6 +232,15 @@ def scan_table_and_starts(stream_u8, n_bytes, num_blocks: int, L: int):
     return starts, ok
 
 
+# Walker-window rungs (bytes a walker may consume), aligned to the
+# _DEC_G_BUCKETS row widths: need=(span+2)//4 -> G in {16, 32}.  Blocks
+# longer than the rung absorb to ERR and the scan escalates; the last
+# rung is always the worst-case span (exact host semantics).  Per-L cache
+# of the last rung that succeeded, so steady-state streams pay one scan.
+_SPAN_RUNGS = (62, 126)
+_rung_cache: dict = {}
+
+
 def scan_offsets_device(data: bytes, num_blocks: int, L: int):
     """Host wrapper: run the device scan on ``data``.
 
@@ -146,19 +249,31 @@ def scan_offsets_device(data: bytes, num_blocks: int, L: int):
     program decides.  Does NOT raise on malformed streams — callers fall
     back to the host scanner for its canonical error (scan_offsets_hybrid).
     """
-    from ..utils.device import pow2_cap
+    from ..utils.device import quarter_cap
+    from .device_codec import _pallas_decode_enabled, host_stream_arg
 
     n = len(data)
     if num_blocks == 0:
         return np.zeros(0, np.int32), n == 0
     if n == 0:
         return np.zeros(num_blocks, np.int32), False
-    pad = pow2_cap(n)
+    # Quarter-octave padding: every padded byte is a walker, so the pow2
+    # cap's up-to-2x padding would be up-to-2x phase-1 work.
+    pad = quarter_cap(n)
     arr = np.zeros(pad, np.uint8)
     arr[:n] = np.frombuffer(data, np.uint8)
-    starts, ok = scan_table_and_starts(
-        jnp.asarray(arr), jnp.int32(n), num_blocks, L)
-    return np.asarray(starts), bool(ok)
+    stream = jnp.asarray(host_stream_arg(arr))
+    rungs = [s for s in _SPAN_RUNGS if s < _worst_span(L)] + [0]
+    if not _pallas_decode_enabled():
+        rungs = [0]                      # XLA fallback has no window trim
+    first = min(_rung_cache.get(L, 0), len(rungs) - 1)
+    for i in range(first, len(rungs)):
+        starts, ok = scan_table_and_starts(
+            stream, jnp.int32(n), num_blocks, L, span_cap=rungs[i])
+        if ok:
+            _rung_cache[L] = i
+            return np.asarray(starts), True
+    return np.asarray(starts), False
 
 
 def scan_offsets_hybrid(data: bytes, num_blocks: int, L: int) -> np.ndarray:

@@ -680,3 +680,193 @@ def decode_blocks(levels, w_t, deq, interpret=None):
         interpret=interpret,
     )(levels, w_t.astype(jnp.float32),
       deq.astype(jnp.int32).reshape(1, K))
+
+
+def _scan_walk_kernel(words_ref, phase_ref, rem_ref, out_ref, *, L: int,
+                      W: int, G: int, WE: int):
+    """Lockstep speculative boundary-scan walkers — one per stream BYTE.
+
+    Column q walks "the block starting at byte q" with the host scanner's
+    exact semantics (entropy/native/entropy.cpp:jt_scan_offsets) and emits
+    its byte length, or -1 for everything the host rejects: truncated
+    header/code, (run, 0) with run not in {0, 15}, coefficient overflow,
+    or no EOB within the unit budget.  Same transposed funnel machinery as
+    :func:`_decode_stream_kernel` (rows from the overlap table, alignment
+    prologue, trim to WE) minus the (L, T) out plane — walkers record only
+    consumed bits.  ``rem_ref`` (1, T) is the stream bits remaining from
+    each walker's start byte (<= 0 past the stream end -> immediate -1,
+    the absorbing ERR of the speculative table).
+
+    Replaces the XLA per-step-gather walkers (entropy/device_scan.py),
+    which paid one HBM gather per unit per byte position — measured 156 ms
+    for a 340 KB band; the funnel formulation streams each walker's bytes
+    through static positions instead.
+    """
+    max_steps = L + L // MAX_RUN + 2
+    T = DEC_TILE
+    zrow = jnp.zeros((1, T), jnp.uint32)
+
+    def cond(carry):
+        step, _words, _c, _widx, st, _out = carry
+        return (step < max_steps) & (jnp.min(st) == 0)
+
+    def walk_one(words, c, widx, st, out, rem):
+        win = words[0:1, :]                          # (1, T) uint32
+        h = (win >> 24).astype(jnp.int32)            # 8-bit header
+        run = h >> 4
+        size = h & 0xF
+        is_eob = h == 0
+        is_chain = h == 0xF0
+        is_code = size != 0
+        bad = ~is_code & ~is_eob & ~is_chain
+        live = st == 0
+        wt = widx + run
+        err_now = live & ((c + 8 > rem) | bad
+                          | (is_code & ((wt >= L) | (c + 8 + size > rem))))
+        done_now = live & ~err_now & is_eob
+        step_on = live & ~err_now & ~is_eob
+        # EOB pads to the byte boundary; starts are byte-aligned so the
+        # block-relative pad equals the stream pad (rle_byte_stream.py:54).
+        out = jnp.where(done_now, (c + 15) >> 3, out)
+        st = jnp.where(err_now, 2, jnp.where(done_now, 1, st))
+        widx = jnp.where(step_on & is_chain, widx + MAX_RUN,
+                         jnp.where(step_on & is_code, wt + 1, widx))
+        adv = jnp.where(step_on, jnp.where(is_code, 8 + size, 8), 0)
+        c = c + adv
+        sh = adv.astype(jnp.uint32)                  # in [0, 31]
+        wnext = jnp.concatenate([words[1:, :], zrow], axis=0)
+        words = (words << sh) | ((wnext >> (jnp.uint32(31) - sh)) >> 1)
+        return words, c, widx, st, out
+
+    rem = rem_ref[:]
+
+    def body(carry):
+        step, words, c, widx, st, out = carry
+        for _ in range(DEC_UNROLL):
+            words, c, widx, st, out = walk_one(words, c, widx, st, out, rem)
+        return step + DEC_UNROLL, words, c, widx, st, out
+
+    # Alignment prologue — identical to the decode kernel's.
+    words = words_ref[:].astype(jnp.uint32)
+    ph = phase_ref[:]
+    wsh = ph >> 5
+    k = 1
+    while k < G:
+        k <<= 1
+    k >>= 1
+    while k >= 1:
+        shifted = jnp.concatenate(
+            [words[k:, :], jnp.zeros((k, T), jnp.uint32)], axis=0)
+        take = wsh >= k
+        words = jnp.where(take, shifted, words)
+        wsh = jnp.where(take, wsh - k, wsh)
+        k >>= 1
+    b = (ph & 31).astype(jnp.uint32)
+    wnext = jnp.concatenate([words[1:, :], zrow], axis=0)
+    words = (words << b) | ((wnext >> (jnp.uint32(31) - b)) >> 1)
+    words = words[:WE]
+
+    z = jnp.zeros((1, T), jnp.int32)
+    init = (jnp.int32(0), words, z, z,
+            jnp.where(rem <= 0, 2, 0),               # past-the-end -> ERR
+            jnp.full((1, T), -1, jnp.int32))
+    _, _, _, _, _, out = jax.lax.while_loop(cond, body, init)
+    out_ref[:] = out
+
+
+def scan_walk_rows(word_rows, phase, rem, L: int, weff: int = 0,
+                   interpret=None):
+    """(P, W = 2G) overlap-table rows + (P, 1) bit phases + (P, 1) remaining
+    stream bits -> (P,) int32 block byte lengths (-1 = error/garbage)."""
+    if interpret is None:
+        interpret = _interpret()
+    n, W = word_rows.shape
+    if weff <= 0 or weff > W:
+        weff = W
+    grid = pl.cdiv(n, DEC_TILE)
+    npad = grid * DEC_TILE
+    if npad != n:
+        word_rows = jnp.concatenate(
+            [word_rows, jnp.zeros((npad - n, W), word_rows.dtype)], axis=0)
+        phase = jnp.concatenate(
+            [phase, jnp.zeros((npad - n, 1), phase.dtype)], axis=0)
+        rem = jnp.concatenate(
+            [rem, jnp.zeros((npad - n, 1), rem.dtype)], axis=0)
+    kern = functools.partial(_scan_walk_kernel, L=L, W=W, G=W // 2, WE=weff)
+    spec1 = pl.BlockSpec((1, DEC_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((W, DEC_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM), spec1, spec1],
+        out_specs=spec1,
+        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.int32),
+        interpret=interpret,
+    )(word_rows.T, phase.T, rem.T)
+    return out[0, :n]
+
+
+def _chase_kernel(n_ref, e_ref, out_ref, ok_ref, *, nb: int, rows: int):
+    """Serial orbit chase over a VMEM-resident end-table.
+
+    The boundary scan's phase 2 — s_{b+1} = E[s_b] — is pure pointer
+    chasing: log-depth pointer doubling costs P*log2(nb) HBM gather work
+    (measured 49-210 ms at 0.5-2 MB), while this kernel holds E entirely
+    in VMEM and walks the nb-step chain at register latency: each step is
+    one dynamic sublane slice + a lane one-hot reduce (~8 VPU ops on
+    (1, 128)).  E is (rows, 128) int32, entry q at [q >> 7, q & 127],
+    padded with the ERR sentinel; out is the packed starts table in the
+    same layout; ok = (chase end == true stream length).
+    """
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    cap = rows * 128 - 1
+
+    def body(b, carry):
+        pos, row = carry
+        row = jnp.where(lanes == (b & 127), pos, row)
+
+        @pl.when((b & 127) == 127)
+        def _():                        # flush one packed row per 128 steps
+            out_ref[pl.ds(b >> 7, 1), :] = row
+
+        p = jnp.minimum(pos, cap)
+        erow = e_ref[pl.ds(p >> 7, 1), :]
+        nxt = jnp.sum(jnp.where(lanes == (p & 127), erow, 0)
+                      ).astype(jnp.int32)
+        return nxt, row
+
+    end, row = jax.lax.fori_loop(
+        0, nb, body, (jnp.zeros((), jnp.int32),
+                      jnp.zeros((1, 128), jnp.int32)))
+    if nb & 127:                        # partial last row never hit a flush
+        out_ref[pl.ds(nb >> 7, 1), :] = row
+    ok_ref[0, 0] = (end == n_ref[0]).astype(jnp.int32)
+
+
+CHASE_VMEM_CAP = 10 << 20   # largest E table the chase kernel holds resident
+
+
+def chase_starts(E, n_bytes, nb: int, interpret=None):
+    """(P2,) int32 end-table (ERR-padded) + true byte length -> ((nb,)
+    starts, ok bool).  Requires 4*P2 <= CHASE_VMEM_CAP (caller checks)."""
+    if interpret is None:
+        interpret = _interpret()
+    P2 = E.shape[0]
+    rows = -(-P2 // 128)
+    ep = jnp.concatenate([E.astype(jnp.int32),
+                          jnp.full(rows * 128 - P2, P2, jnp.int32)])
+    nbp = -(-max(nb, 1) // 128) * 128
+    kern = functools.partial(_chase_kernel, nb=nb, rows=rows)
+    out, ok = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((rows, 128), memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((nbp // 128, 128),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nbp // 128, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(n_bytes.astype(jnp.int32).reshape(1), ep.reshape(rows, 128))
+    return out.reshape(-1)[:nb], ok[0, 0] != 0

@@ -16,6 +16,22 @@ def pow2_cap(n: int, floor: int = 4096) -> int:
     return cap
 
 
+def quarter_cap(n: int, floor: int = 4096) -> int:
+    """Smallest quarter-octave size (m * 2^k / 4, m in 4..7) >= n.
+
+    Same bounded-compile-count rationale as :func:`pow2_cap` (4 sizes per
+    octave instead of 1), but the worst-case padding drops from 2x to
+    1.25x — used where the padded length IS the work, e.g. the per-byte
+    boundary-scan walkers (entropy/device_scan.py)."""
+    cap = pow2_cap(n, floor)
+    if cap > floor:
+        q = cap >> 3                     # candidates (cap/2) * {1.25, 1.5, 1.75}
+        for m in (5, 6, 7):
+            if q * m >= n:
+                return q * m
+    return cap
+
+
 def pull_prefix(dev_u8, nbytes: int) -> bytes:
     """Transfer only the used prefix of a device byte buffer."""
     n = int(nbytes)

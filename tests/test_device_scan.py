@@ -151,3 +151,66 @@ def test_end_to_end_decode_with_device_scan(monkeypatch):
     base = decompress_to_ycbcr(blob)
     monkeypatch.setenv("JPEG_TPU_DEVICE_SCAN", "1")
     assert np.array_equal(decompress_to_ycbcr(blob), base)
+
+
+@pytest.mark.parametrize("n,L,density", [
+    (1, 64, 0.2), (37, 64, 0.05), (64, 16, 0.5),
+    (200, 64, 0.0),      # all-EOB stream: 1-byte blocks
+])
+def test_pallas_walker_matches_host_scan(n, L, density, monkeypatch):
+    """The Mosaic funnel walker (interpret mode) == host scan on valid
+    streams, including the speculative table's garbage-walker semantics."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    rng = np.random.default_rng(n * 1000 + L + 7)
+    data = NC.encode_levels(_rand_levels(rng, n, L, density))
+    starts, ok = DS.scan_offsets_device(data, n, L)
+    assert ok
+    assert np.array_equal(starts, NC.scan_offsets(data, n, L))
+
+
+def test_pallas_walker_rejects_malformed(monkeypatch):
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    data = NC.encode_levels(np.ones((4, 16), np.int32))
+    for bad in (data[:-1], data + b"\x00", data[1:],
+                data[:len(data) // 2]):
+        _, ok = DS.scan_offsets_device(bad, 4, 16)
+        assert not ok
+
+
+def test_pallas_walker_mutation_fuzz(monkeypatch):
+    """Single-byte mutations: the walker's ok flag must agree with the host
+    scanner's accept/reject on every mutant, and starts must match when
+    both accept (same differential as test_fuzz_three_way_with_flag)."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    rng = np.random.default_rng(99)
+    L = 64
+    data = bytearray(NC.encode_levels(_rand_levels(rng, 12, L, 0.2)))
+    for _ in range(25):
+        i = int(rng.integers(0, len(data)))
+        v = int(rng.integers(0, 256))
+        mut = bytes(data[:i]) + bytes([v]) + bytes(data[i + 1:])
+        try:
+            want = NC.scan_offsets(mut, 12, L)
+            host_ok = True
+        except (BadStreamError, BadRleCodeError):
+            host_ok = False
+        starts, ok = DS.scan_offsets_device(mut, 12, L)
+        assert bool(ok) == host_ok, (i, v)
+        if host_ok:
+            assert np.array_equal(starts, want), (i, v)
+
+def test_pallas_walker_rung_escalation(monkeypatch):
+    """Blocks longer than the first window rung force an escalation to the
+    worst-case span; the result must still match the host scan exactly."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    L = 64
+    lv = np.zeros((6, L), np.int32)
+    lv[2, :] = 16000          # dense max-size block: ~3x the 62-byte rung
+    lv[4, ::3] = -1999
+    data = NC.encode_levels(lv)
+    assert max(np.diff(NC.scan_offsets(data, 6, L))) > DS._SPAN_RUNGS[0]
+    DS._rung_cache.pop(L, None)
+    starts, ok = DS.scan_offsets_device(data, 6, L)
+    assert ok
+    assert np.array_equal(starts, NC.scan_offsets(data, 6, L))
+    assert DS._rung_cache[L] > 0      # remembered the rung that succeeded
