@@ -128,13 +128,14 @@ def main() -> None:
     # sizes the overlap-row gather and the kernel's trimmed width
     bucket_bb = DC.bucket_block_bytes(
         L, DC.max_block_bytes_of(starts, len(stream)))
+    srt = DC.sort_pays_off(starts, len(stream))   # production sort decision
     print(f"decode geometry: G={DC.dec_group(L, bucket_bb)} "
           f"weff={DC.dec_weff(L, bucket_bb)} "
-          f"(worst case G={DC.dec_group(L, 0)})", file=sys.stderr)
+          f"(worst case G={DC.dec_group(L, 0)}) sort={srt}", file=sys.stderr)
 
     # correctness gate before timing anything
     got = np.asarray(jax.jit(
-        lambda s, t: DC.decode_stream(s, t, L, bucket_bb,
+        lambda s, t: DC.decode_stream(s, t, L, bucket_bb, sort=srt,
                                       total_len=total))(arr_d, st_d))
     assert np.array_equal(got, levels), "device decode mismatch"
 
@@ -234,7 +235,8 @@ def main() -> None:
     record("enc_sized_total", (p1 + p2) / 1e3, plane_b + 2 * levels_b + stream_b + bb_b)
 
     def ent_dec(st):
-        lv = DC.decode_stream(arr_d, st, L, bucket_bb, total_len=total)
+        lv = DC.decode_stream(arr_d, st, L, bucket_bb, sort=srt,
+                              total_len=total)
         return st + dep(lv)
 
     record("entropy_dec", marginal(ent_dec, st_d), stream_b + starts_b + levels_b)
@@ -246,41 +248,41 @@ def main() -> None:
     record("coeff_dec", marginal(coeff_dec, lv_d), levels_b + plane_b)
 
     def fused_dec(st):
-        lv = DC.decode_stream(arr_d, st, L, bucket_bb, total_len=total)
+        lv = DC.decode_stream(arr_d, st, L, bucket_bb, sort=srt,
+                              total_len=total)
         p = jax.vmap(dec)(lv.reshape(3, nb, L))
         return st + dep(p)
 
     record("fused_dec", marginal(fused_dec, st_d), stream_b + starts_b + plane_b)
 
     # Device-resident round trip: planes -> coefficients -> bitstream ->
-    # coefficients -> planes in ONE program, stream never leaving HBM.
-    # Block starts come from the encoder's own byte counts (exclusive
-    # cumsum), not a host scan — the on-device analog of the full
-    # compress_band/decompress_band pair (reference pipeline/__init__.py:71-88).
-    def roundtrip(p):
+    # coefficients -> planes in ONE program, stream never leaving HBM —
+    # the on-device analog of the full compress_band/decompress_band pair
+    # (reference pipeline/__init__.py:71-88).  Uses the production pieces:
+    # sized entropy encode (its W/cap/G statics from the host-bucketed
+    # stats, the in-program poison flag consumed), the zero-relayout BE-word
+    # interchange (emit="words" -> decode_stream direct), and block starts
+    # from the encoder's own byte counts (exclusive cumsum, no host scan).
+    def rt_core(p):
         lv = enc(p).reshape(-1, L)
-        buf, bb = DC.encode_stream(lv)
+        words, bb, bad = DC.encode_stream_sized(lv, W, cap, G, emit="words")
         st = jnp.concatenate([jnp.zeros(1, jnp.int32),
                               jnp.cumsum(bb)[:-1].astype(jnp.int32)])
-        lv2 = DC.decode_stream(buf, st, L, bucket_bb,
+        lv2 = DC.decode_stream(words, st, L, bucket_bb, sort=srt,
                                total_len=bb.sum().astype(jnp.int32))
-        p2 = jax.vmap(dec)(lv2.reshape(3, nb, L))
-        return p + dep(p2).astype(dtp)
+        return jax.vmap(dec)(lv2.reshape(3, nb, L)), bad
+
+    def roundtrip(p):
+        p2, bad = rt_core(p)
+        return p + (dep(p2) + bad.astype(jnp.int32)).astype(dtp)
 
     # correctness gate: the round trip reproduces the decoded planes
-    def rt_planes(p):
-        lv = enc(p).reshape(-1, L)
-        buf, bb = DC.encode_stream(lv)
-        st = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(bb)[:-1].astype(jnp.int32)])
-        lv2 = DC.decode_stream(buf, st, L, bucket_bb,
-                               total_len=bb.sum().astype(jnp.int32))
-        return jax.vmap(dec)(lv2.reshape(3, nb, L))
-
     planes_ref = np.asarray(jax.jit(
         lambda lv: jax.vmap(dec)(lv.reshape(3, nb, L)))(lv_d))
-    got_rt = np.asarray(jax.jit(rt_planes)(pl_d))
-    assert np.array_equal(got_rt, planes_ref), "device round trip mismatch"
+    got_rt, got_bad = jax.jit(rt_core)(pl_d)
+    assert not bool(got_bad), "sized round trip overflowed"
+    assert np.array_equal(np.asarray(got_rt), planes_ref), \
+        "device round trip mismatch"
     record("roundtrip", marginal(roundtrip, pl_d),
            2 * plane_b + 2 * stream_b + 2 * bb_b + levels_b)
 

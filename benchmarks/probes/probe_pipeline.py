@@ -47,33 +47,50 @@ def best(fn, reps=5):
 def main() -> None:
     mb = 12
     nelem = mb << 20
-    xs = [jax.device_put(np.full(nelem, i, np.uint8)) for i in range(2)]
-    jax.block_until_ready(xs)
+    # jax Arrays CACHE their host copy after the first np.asarray — every
+    # pull below must hit a FRESH array, pulled exactly once.
+    reps = 4
 
-    t_pull = best(lambda: np.asarray(xs[0]))
+    def fresh(n):
+        out = [jax.device_put(np.full(nelem, 7 + i, np.uint8))
+               for i in range(n)]
+        jax.block_until_ready(out)
+        return out
+
+    pool = fresh(reps)
+    t0 = time.perf_counter()
+    for x in pool:
+        np.asarray(x)
+    t_pull = (time.perf_counter() - t0) / reps
     print(f"d2h {mb} MB alone            {t_pull * 1e3:8.1f} ms "
           f"({mb / t_pull:6.1f} MB/s)", flush=True)
 
-    def two_pulls():
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            list(ex.map(lambda x: np.asarray(x), xs))
-    t_two = best(two_pulls)
-    print(f"2x d2h concurrent            {t_two * 1e3:8.1f} ms "
+    pool = fresh(2 * reps)
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(lambda x: np.asarray(x), pool))
+    t_two = (time.perf_counter() - t0) / reps
+    print(f"2x d2h concurrent            {t_two * 1e3:8.1f} ms/pair "
           f"(ratio vs 1x: {t_two / t_pull:4.2f}; full-duplex ~1, "
           f"serialized ~2)", flush=True)
 
     host = np.arange(nelem, dtype=np.uint8)
-    t_push = best(lambda: jax.block_until_ready(jax.device_put(host)))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(jax.device_put(host))
+    t_push = (time.perf_counter() - t0) / reps
     print(f"h2d {mb} MB alone            {t_push * 1e3:8.1f} ms "
           f"({mb / t_push:6.1f} MB/s)", flush=True)
 
-    def push_and_pull():
+    pool = fresh(reps)
+    t0 = time.perf_counter()
+    for x in pool:
         with ThreadPoolExecutor(max_workers=2) as ex:
             f1 = ex.submit(lambda: jax.block_until_ready(
                 jax.device_put(host)))
-            f2 = ex.submit(lambda: np.asarray(xs[1]))
+            f2 = ex.submit(lambda x=x: np.asarray(x))
             f1.result(), f2.result()
-    t_pp = best(push_and_pull)
+    t_pp = (time.perf_counter() - t0) / reps
     both = max(t_push, t_pull)
     print(f"h2d + d2h concurrent         {t_pp * 1e3:8.1f} ms "
           f"(ratio vs max(h2d,d2h): {t_pp / both:4.2f}; full-duplex ~1, "

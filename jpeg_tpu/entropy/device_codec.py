@@ -395,7 +395,8 @@ def _use_merge_kernel(W, depth) -> bool:
         _pallas_decode_enabled()
 
 
-def compact_rows(rows, blk_bytes, L, cap: int = 0, G: int = 0):
+def compact_rows(rows, blk_bytes, L, cap: int = 0, G: int = 0,
+                 emit: str = "u8"):
     """(N, W) per-block stream-word rows -> contiguous stream bytes.
 
     Returns a uint8 buffer of ``cap`` bytes (0 = the static worst case)
@@ -404,6 +405,12 @@ def compact_rows(rows, blk_bytes, L, cap: int = 0, G: int = 0):
     MUST be >= the true total (callers size it from device-computed stats,
     :func:`encode_cap_bucket`); the gather grid scales with it, which is
     the point — the gather is the dominant compaction cost.
+
+    ``emit="words"`` returns the stream as big-endian uint32 words instead
+    (the compaction's native form): device-resident consumers
+    (:func:`decode_stream`, whose word table is exactly this) skip BOTH
+    relayouts — the u8 unpack here and the u8 -> u32 repack there, each a
+    measured ~0.6 ms/MB on TPU.
 
     TPU gather cost scales with INDEX COUNT (measured ~7 ns/idx random,
     far less for the monotonic ids used here), so the design minimizes
@@ -502,16 +509,21 @@ def compact_rows(rows, blk_bytes, L, cap: int = 0, G: int = 0):
     out_words = jnp.where(gpos[:, None] < total, out_words, 0)
 
     flat = out_words.reshape(-1)
+    if emit == "words":
+        return flat[:-(-worst // 4)].astype(jnp.uint32)
     b = jnp.stack([(flat >> 24) & 0xFF, (flat >> 16) & 0xFF,
                    (flat >> 8) & 0xFF, flat & 0xFF], axis=1)
     return b.reshape(-1)[:worst].astype(jnp.uint8)
 
 
-def encode_stream(levels):
+def encode_stream(levels, emit: str = "u8"):
     """(N, L) int32 levels -> (bytes_u8[worst_case], blk_bytes (N,) int32).
 
     ``bytes_u8[: blk_bytes.sum()]`` is bit-identical to the host codec's
     output; the remainder is zero.  jit-safe, fully vectorized.
+    ``emit="words"`` returns big-endian uint32 words instead of bytes —
+    the zero-relayout interchange form for device-resident decode
+    (:func:`compact_rows`).
 
     On TPU (or under JPEG_TPU_PALLAS=interpret) the bitstream is assembled
     by the Mosaic funnel kernel + grouped-gather compaction; the scatter
@@ -539,7 +551,7 @@ def encode_stream(levels):
     if _pallas_decode_enabled() and big_l_ok and not os.environ.get(
             "JPEG_TPU_ENC_SCATTER"):
         rows, blk_bytes = encode_rows(levels)
-        return compact_rows(rows, blk_bytes, L), blk_bytes
+        return compact_rows(rows, blk_bytes, L, emit=emit), blk_bytes
     nz, absamp, size, nchains, rrem, group_bits = _geometry(levels)
 
     blk_bits = jnp.sum(group_bits, axis=-1) + 8          # + EOB
@@ -571,10 +583,18 @@ def encode_stream(levels):
     window = v << (32 - off - cl).astype(jnp.uint32)
     out = _deposit(out, nz, byte0, window, 4)
 
+    if emit == "words":
+        if out.shape[0] % 4:
+            out = jnp.concatenate(
+                [out, jnp.zeros(4 - out.shape[0] % 4, out.dtype)])
+        o = out.reshape(-1, 4).astype(jnp.uint32)
+        return ((o[:, 0] << 24) | (o[:, 1] << 16)
+                | (o[:, 2] << 8) | o[:, 3]), blk_bytes
     return out.astype(jnp.uint8), blk_bytes
 
 
-def encode_stream_sized(levels, W: int, cap: int, G: int = 0):
+def encode_stream_sized(levels, W: int, cap: int, G: int = 0,
+                        emit: str = "u8"):
     """(N, L) int32 levels -> (bytes_u8[cap], blk_bytes (N,) int32,
     overflowed bool scalar), with the row width and output buffer sized by
     the band's ACTUAL content.
@@ -602,15 +622,16 @@ def encode_stream_sized(levels, W: int, cap: int, G: int = 0):
         while G > 1 and (u * W) % G:
             G >>= 1
     rows, blk_bytes = encode_rows(levels, W=W)
-    buf = compact_rows(rows, blk_bytes, levels.shape[-1], cap, G)
-    bad = (jnp.max(blk_bytes) > 4 * W) | (jnp.sum(blk_bytes) > buf.shape[0])
+    buf = compact_rows(rows, blk_bytes, levels.shape[-1], cap, G, emit=emit)
+    buf_bytes = buf.shape[0] * (4 if emit == "words" else 1)
+    bad = (jnp.max(blk_bytes) > 4 * W) | (jnp.sum(blk_bytes) > buf_bytes)
     if G > 0:
         # An explicit G certifies 4*G <= every constraining unit; verify it
         # against the blk_bytes the kernel just computed (same poison
         # contract as the W/cap checks — gather mis-attribution would
         # corrupt silently otherwise).
         bad = bad | (min_unit_bytes_of(blk_bytes) < 4 * G)
-    return jnp.where(bad, jnp.uint8(0), buf), blk_bytes, bad
+    return jnp.where(bad, buf.dtype.type(0), buf), blk_bytes, bad
 
 
 def check_sized_ok(bad) -> None:
@@ -785,16 +806,19 @@ def host_stream_arg(arr: np.ndarray) -> np.ndarray:
 
 
 def _be_word_table(stream, nbytes: int, nw: int):
-    """Stream buffer (uint8, or int32 little-endian words from
-    :func:`host_stream_arg`) -> (nw,) int32 big-endian stream words."""
+    """Stream buffer (uint8; int32 little-endian words from
+    :func:`host_stream_arg`; or uint32 big-endian words from
+    ``emit="words"`` encode) -> (nw,) int32 big-endian stream words."""
     if stream.dtype == jnp.uint8:
         return _bytes_to_be_words(stream, 4 * nw)
-    x = stream.astype(jnp.uint32)
+    x = stream.astype(jnp.uint32) if stream.dtype == jnp.int32 else stream
     have = x.shape[0]
     if have < nw:
         x = jnp.concatenate([x, jnp.zeros(nw - have, jnp.uint32)])
     else:
         x = x[:nw]
+    if stream.dtype == jnp.uint32:
+        return x.astype(jnp.int32)       # already big-endian device words
     w = ((x << 24) | ((x & 0xFF00) << 8)
          | ((x >> 8) & 0xFF00) | (x >> 24))
     return w.astype(jnp.int32)
@@ -906,10 +930,14 @@ def decode_stream(stream_u8, starts, L: int, max_block_bytes: int = 0,
         return _decode_stream_pallas(stream_u8, starts, L, max_block_bytes,
                                      sort=sort, total_len=total_len)
     if is_words:
-        # XLA fallback reads per byte: unpack the little-endian words (the
-        # platform bitcast restores the original byte order on LE hosts).
-        stream_u8 = jax.lax.bitcast_convert_type(
-            stream_u8.astype(jnp.uint32), jnp.uint8).reshape(-1)
+        # XLA fallback reads per byte: unpack words to bytes.  LE words
+        # (int32, host_stream_arg) bitcast directly on LE hosts; BE words
+        # (uint32, emit="words" encode) byteswap first.
+        x = stream_u8.astype(jnp.uint32)
+        if stream_u8.dtype == jnp.uint32:
+            x = ((x << 24) | ((x & 0xFF00) << 8)
+                 | ((x >> 8) & 0xFF00) | (x >> 24))
+        stream_u8 = jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
     max_steps = L + L // MAX_RUN + 2
 
     # Per-byte big-endian 32-bit windows: w32[i] = bytes[i..i+4) (zero pad).

@@ -393,3 +393,55 @@ def test_pallas_encode_large_L(monkeypatch):
     buf = np.asarray(buf)
     assert buf[:total].tobytes() == NC.encode_levels(levels)
     assert not buf[total:].any()
+
+
+@pytest.mark.parametrize("pallas", [False, True])
+def test_words_interchange_roundtrip(pallas, monkeypatch):
+    """emit="words" encode -> decode_stream directly on the BE words: the
+    zero-relayout device-resident interchange must be bit-equivalent to the
+    u8 form on both the Pallas and XLA paths."""
+    if pallas:
+        monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    else:
+        monkeypatch.setenv("JPEG_TPU_NO_PALLAS", "1")
+    L = 64
+    levels = np.zeros((23, L), dtype=np.int32)
+    mask = RNG.random(levels.shape) < 0.2
+    levels[mask] = RNG.integers(-2000, 2000, int(mask.sum()))
+
+    words, bb = jax.jit(lambda lv: DC.encode_stream(lv, emit="words"))(
+        jnp.asarray(levels))
+    assert words.dtype == jnp.uint32
+    bb_np = np.asarray(bb)
+    total = int(bb_np.sum())
+    # the words' byte view equals the u8 form / the host codec
+    be = np.asarray(words).astype(">u4").tobytes()[:total]
+    assert be == NC.encode_levels(levels)
+
+    starts = np.concatenate([[0], np.cumsum(bb_np)[:-1]]).astype(np.int32)
+    got = np.asarray(jax.jit(
+        lambda w, s: DC.decode_stream(w, s, L, total_len=jnp.int32(total)))(
+            words, jnp.asarray(starts)))
+    assert np.array_equal(got, levels)
+
+
+def test_words_interchange_sized(monkeypatch):
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    L = 64
+    # Dense enough that total stream BYTES exceed the buffer's WORD count —
+    # the poison check must compare in bytes, not buffer elements.
+    levels = np.zeros((16, L), dtype=np.int32)
+    mask = RNG.random(levels.shape) < 0.6
+    levels[mask] = RNG.integers(-16000, 16000, int(mask.sum()))
+    bb = np.asarray(jax.jit(DC.block_bytes_of)(jnp.asarray(levels)))
+    assert bb.sum() > 16 * DC.worst_case_block_bytes(L) // 4
+    W = DC.encode_words_bucket(L, int(bb.max()))
+    cap = DC.encode_cap_bucket(int(bb.sum()),
+                               levels.shape[0] * DC.worst_case_block_bytes(L))
+    words, bb2, bad = jax.jit(
+        lambda lv: DC.encode_stream_sized(lv, W, cap, emit="words"))(
+            jnp.asarray(levels))
+    DC.check_sized_ok(bad)
+    total = int(np.asarray(bb2).sum())
+    assert np.asarray(words).astype(">u4").tobytes()[:total] == \
+        NC.encode_levels(levels)

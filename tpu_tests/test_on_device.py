@@ -251,3 +251,35 @@ def test_device_scan_on_chip():
     np.testing.assert_array_equal(starts, entropy.scan_offsets(data, nb, L))
     _, ok_bad = DS.scan_offsets_device(data[:-1], nb, L)
     assert not ok_bad
+
+
+def test_words_interchange_on_chip():
+    """Compiled device round trip over the BE-word interchange: sized
+    encode (emit="words") -> decode_stream with no u8 relayout on either
+    side, starts from the encoder's own byte counts."""
+    import jax.numpy as jnp
+    from jpeg_tpu import entropy
+    from jpeg_tpu.entropy import device_codec as DC
+    rng = np.random.default_rng(5)
+    nb, L = 900, 64
+    lv = np.zeros((nb, L), np.int32)
+    m = rng.random(lv.shape) < 0.2
+    lv[m] = rng.integers(-2000, 2000, int(m.sum()))
+    bb = np.asarray(jax.jit(DC.block_bytes_of)(jnp.asarray(lv)))
+    W = DC.encode_words_bucket(L, int(bb.max()))
+    cap = DC.encode_cap_bucket(int(bb.sum()), nb * DC.worst_case_block_bytes(L))
+
+    @jax.jit
+    def roundtrip(levels):
+        words, b, bad = DC.encode_stream_sized(levels, W, cap, emit="words")
+        st = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(b)[:-1].astype(jnp.int32)])
+        return words, b, bad, DC.decode_stream(
+            words, st, L, total_len=b.sum().astype(jnp.int32))
+
+    words, b, bad, got = roundtrip(jnp.asarray(lv))
+    DC.check_sized_ok(bad)
+    total = int(np.asarray(b).sum())
+    assert np.asarray(words).astype(">u4").tobytes()[:total] == \
+        entropy.encode_levels(lv)
+    np.testing.assert_array_equal(np.asarray(got), lv)
