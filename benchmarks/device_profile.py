@@ -186,21 +186,35 @@ def main() -> None:
 
     record("coeff_enc", marginal(coeff_enc, pl_d), plane_b + levels_b)
 
-    def ent_enc(lv):
-        buf, bb = DC.encode_stream(lv)
-        # dep on BOTH outputs: depending only on the byte counts lets XLA
-        # dead-code the stream-buffer scatters (the actual work)
-        return lv + dep(buf) + dep(bb)
+    # Worst-case (non-sized) entropy stages are the shape-oblivious
+    # FALLBACK, not the production path (api dispatches the content-sized
+    # two-phase encode by default).  At large L they are pathological by
+    # construction — the L=576 lv kernel's full-W buffer makes each append
+    # funnel-shift ~416 word rows, minutes of device time for a path never
+    # taken — so SKIP_WORST=1 (or L > 150) omits them from the capture.
+    skip_worst = bool(int(os.environ.get(
+        "SKIP_WORST", "1" if L > 150 else "0")))
+    if skip_worst:
+        print("skipping worst-case entropy_enc/fused_enc (fallback path; "
+              "SKIP_WORST)", file=sys.stderr)
+    else:
+        def ent_enc(lv):
+            buf, bb = DC.encode_stream(lv)
+            # dep on BOTH outputs: depending only on the byte counts lets
+            # XLA dead-code the stream-buffer scatters (the actual work)
+            return lv + dep(buf) + dep(bb)
 
-    record("entropy_enc", marginal(ent_enc, lv_d), levels_b + stream_b + bb_b)
+        record("entropy_enc", marginal(ent_enc, lv_d),
+               levels_b + stream_b + bb_b)
 
-    def fused_enc(p):
-        lv = enc(p)
-        buf, bb, mx = DC.encode_bands_stream(
-            lv.reshape(-1, L), 3)
-        return p + (dep(buf) + dep(bb) + dep(mx)).astype(dtp)
+        def fused_enc(p):
+            lv = enc(p)
+            buf, bb, mx = DC.encode_bands_stream(
+                lv.reshape(-1, L), 3)
+            return p + (dep(buf) + dep(bb) + dep(mx)).astype(dtp)
 
-    record("fused_enc", marginal(fused_enc, pl_d), plane_b + stream_b + bb_b)
+        record("fused_enc", marginal(fused_enc, pl_d),
+               plane_b + stream_b + bb_b)
 
     # Content-sized two-phase encode (production path, api.py:_start_compress):
     # phase 1 = coeff + stream geometry stats; phase 2 = entropy encode at

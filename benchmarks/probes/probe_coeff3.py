@@ -1,0 +1,167 @@
+"""On-chip probe: non-divisible (d=24) coefficient encode — old fallback
+vs the separable sub-then-DCT path.
+
+The r4 d24 capture read coeff_enc = 37.6 ms at 4.2 MP (111 MP/s, 0.1% of
+HBM) for BASELINE config 3 (divide/1000, dct_size 24, bs 2): 2048/2 = 1024
+is not a multiple of 24, so make_encode fell back to pad -> subsample ->
+blockify -> vmapped joint per-block matmul.  This probe splits the old
+path's substages and A/Bs the replacement (subsample + DCT-pad in XLA,
+then the separable two-stage contraction with the bs=1 factor).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from jpeg_tpu.utils.jit_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from jpeg_tpu import Configuration, QuantizationMethod, api  # noqa: E402
+from jpeg_tpu.ops import band as band_ops  # noqa: E402
+from jpeg_tpu.ops import blocks as B  # noqa: E402
+from jpeg_tpu.ops import pallas_kernels as PK  # noqa: E402
+from jpeg_tpu.ops import quantize as Q  # noqa: E402
+from jpeg_tpu.ops import transform as T  # noqa: E402
+
+K1 = int(os.environ.get("CHAIN_K1", "2"))
+K2 = int(os.environ.get("CHAIN_K2", "10"))
+
+
+def _wall_best(fn, *args, reps: int = 3) -> float:
+    jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def marginal(body, init) -> float:
+    def chain(k):
+        return jax.jit(
+            lambda x: jax.lax.fori_loop(0, k, lambda i, c: body(c), x))
+    t1 = _wall_best(chain(K1), init)
+    t2 = _wall_best(chain(K2), init)
+    return max(0.0, (t2 - t1) / (K2 - K1))
+
+
+def dep(x):
+    return jnp.minimum(jnp.min(jnp.abs(x)).astype(jnp.int32), 0)
+
+
+def main() -> None:
+    h = w = int(os.environ.get("PROBE_HW", "2048"))
+    d, bs = 24, 2
+    method = QuantizationMethod("divide", divisor=1000.0)
+    cfg = Configuration(width=w, height=h, block_size=bs, dct_size=d,
+                        quantization=method)
+    rng = np.random.default_rng(0)
+    yx = np.mgrid[0:h, 0:w]
+    plane = np.clip(128 + 70 * np.sin(yx[1] / 17.0) * np.cos(yx[0] / 23.0)
+                    + 30 * np.sin((yx[0] + yx[1]) / 9.0)
+                    + 8 * rng.standard_normal((h, w)), 0, 255)
+    planes = np.repeat(plane[None, :, :], 3, 0).astype(np.uint8)
+    pl_d = jax.device_put(planes)
+    L = d * d
+    mp = h * w / 1e6
+    print(f"backend={jax.default_backend()} {h}x{w} d={d} bs={bs} "
+          f"chain {K1}->{K2}", file=sys.stderr)
+
+    key = band_ops.config_key(cfg)
+    dt, pal = api._dt_and_pallas(cfg, None)
+    enc_new = band_ops.make_encode_batch(key, dt.name, pal)
+
+    # --- old fallback, reconstructed -----------------------------------
+    pack = PK.pack_factor(L)
+    enc_op = T.encode_operator(d)
+    op_t = np.kron(np.eye(pack), enc_op.T)
+    mul_v, div_v, mask_v = (np.tile(v, pack)
+                            for v in Q.epilogue_vectors(method, d))
+
+    def enc_old_band(band):
+        a = B.pad_edge(band, bs)
+        sub = B.subsample_fast(a, bs)
+        sub = B.pad_edge(sub, d)
+        blk = B.blockify(sub, d)
+        nv, nh = blk.shape[:2]
+        vecs = blk.reshape(nv * nh, L)
+        n_blocks = nv * nh
+        n_grp = -(-n_blocks // pack)
+        if n_grp * pack != n_blocks:
+            vecs = jnp.concatenate(
+                [vecs, jnp.zeros((n_grp * pack - n_blocks, L), vecs.dtype)],
+                axis=0)
+        packed = PK.encode_blocks(
+            vecs.reshape(n_grp, pack * L), jnp.asarray(op_t, jnp.float32),
+            jnp.asarray(mul_v), jnp.asarray(div_v), jnp.asarray(mask_v))
+        return packed.reshape(n_grp * pack, L)[:n_blocks]
+
+    enc_old = jax.vmap(enc_old_band)
+
+    lv_new = np.asarray(jax.jit(enc_new)(pl_d))
+    lv_old = np.asarray(jax.jit(enc_old)(pl_d))
+    agree = float((lv_new == lv_old).mean())
+    print(f"level agreement old vs new: {agree:.6f} "
+          f"(f32 order differs; no bit contract)", file=sys.stderr)
+    assert agree > 0.9999, agree
+
+    dtp = planes.dtype
+
+    def run(name, fn):
+        t = marginal(lambda p: p + dep(fn(p)).astype(dtp), pl_d)
+        mps = mp / t if t > 0 else float("inf")
+        print(f"{name:22s} {t * 1e3:8.2f} ms {mps:9.1f} MP/s",
+              file=sys.stderr)
+        return t
+
+    run("enc NEW (separable)", enc_new)
+    run("enc OLD (blockify)", enc_old)
+    run("enc OLD single-band", lambda p: enc_old_band(p[0]))
+
+    # old-path substages (single band)
+    def sub_only(p):
+        a = B.pad_edge(p[0], bs)
+        return B.pad_edge(B.subsample_fast(a, bs), d)
+
+    run("old sub+pads only", sub_only)
+
+    sub0 = jax.block_until_ready(jax.jit(sub_only)(pl_d))
+
+    def blockify_only(s):
+        blk = B.blockify(s, d)
+        return blk.reshape(-1, L)
+
+    t = marginal(lambda s: s + dep(blockify_only(s)), sub0)
+    print(f"old blockify only      {t * 1e3:8.2f} ms", file=sys.stderr)
+
+    vecs0 = jax.block_until_ready(jax.jit(blockify_only)(sub0))
+    n_blocks = vecs0.shape[0]
+    n_grp = -(-n_blocks // pack)
+
+    def kernel_only(v):
+        vv = v
+        if n_grp * pack != n_blocks:
+            vv = jnp.concatenate(
+                [vv, jnp.zeros((n_grp * pack - n_blocks, L), v.dtype)],
+                axis=0)
+        out = PK.encode_blocks(
+            vv.reshape(n_grp, pack * L), jnp.asarray(op_t, jnp.float32),
+            jnp.asarray(mul_v), jnp.asarray(div_v), jnp.asarray(mask_v))
+        return v + dep(out).astype(v.dtype)
+
+    t = marginal(kernel_only, vecs0)
+    print(f"old matmul kernel only {t * 1e3:8.2f} ms", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

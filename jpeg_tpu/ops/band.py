@@ -101,31 +101,53 @@ def make_encode(key: Tuple, dtype_name: str,
     # probe_coeff2.py).  DFT's real-part operator is a difference of two
     # kron products, so it keeps the joint dot.
     separable = combined and transform == "DCT"
-    if separable:
-        fac = T.separable_encode_factor(d, bs)               # (d, D)
+    # Non-divisible DCT f32: subsample + DCT-pad in XLA first (the padded
+    # subsampled plane is ALWAYS d-divisible), then the SAME separable
+    # two-stage contraction with the bs = 1 factor.  The old fallback
+    # (blockify + joint per-block matmul) measured 37.6 ms vs ~1 ms for
+    # the d=24/bs=2 BASELINE config 3 on a 2048x2048 image (r4 d24
+    # capture) — the blockify transpose plus the vmapped batched dot lose
+    # the MXU layout exactly as benchmarks/probes/probe_coeff2.py showed.
+    sep_pad = (transform == "DCT" and not combined
+               and dtype != jnp.float64)
+    if separable or sep_pad:
+        fac = T.separable_encode_factor(d, bs if separable else 1)
         zzp = np.asarray(T.zigzag_permutation(d), np.int32)
     elif combined:
         op2 = T.combined_encode_operator(d, bs, transform)   # (L, D*D)
 
+    def sep2(x, width):
+        """Separable DCT+zigzag of an f32 plane whose last two dims are
+        multiples of ``fac.shape[1]``/``d``; batch-polymorphic — the
+        leading reshape merges any band batch into the row-group axis,
+        which is WHY this path is fast (a vmapped/batched dot_general
+        loses the layout win: 8x slower, probe_coeff2.py enc_g)."""
+        D2 = fac.shape[1]
+        ft = jnp.asarray(fac.T, jnp.float32)                 # (D2, d)
+        xr = x.reshape(-1, D2, width)
+        # stage 1: contract the D2 pixel-row axis; the full image width
+        # stays minor/contiguous so XLA feeds the MXU without a copy
+        t1 = jax.lax.dot_general(
+            xr, ft, (((1,), (0,)), ((), ())),
+            precision=T._mm_precision())                     # (B*NV, W, r)
+        t1 = t1.reshape(-1, width // D2, D2, d)
+        t2 = jax.lax.dot_general(
+            t1, ft, (((2,), (0,)), ((), ())),
+            precision=T._mm_precision())                   # (B*NV, NH, r, c)
+        return jnp.take(t2.reshape(-1, L), jnp.asarray(zzp), axis=1)
+
     def f(band):
         if separable:
-            D = d * bs
-            ft = jnp.asarray(fac.T, jnp.float32)             # (D, d)
-            # Batch-polymorphic: (H, W) or (B, H, W) — the leading reshape
-            # merges any band batch into the row-group axis, which is WHY
-            # this path is fast (a vmapped/batched dot_general loses the
-            # layout win: 8x slower, benchmarks/probe_coeff2.py enc_g).
-            x = band.astype(jnp.float32).reshape(-1, D, w)
-            # stage 1: contract the D pixel-row axis; the full image width
-            # stays minor/contiguous so XLA feeds the MXU without a copy
-            t1 = jax.lax.dot_general(
-                x, ft, (((1,), (0,)), ((), ())),
-                precision=T._mm_precision())                 # (B*NV, W, r)
-            t1 = t1.reshape(-1, w // D, D, d)
-            t2 = jax.lax.dot_general(
-                t1, ft, (((2,), (0,)), ((), ())),
-                precision=T._mm_precision())               # (B*NV, NH, r, c)
-            coeffs = jnp.take(t2.reshape(-1, L), jnp.asarray(zzp), axis=1)
+            coeffs = sep2(band.astype(jnp.float32), w)
+            levels = Q.quantize(coeffs, method, d)
+            return levels.astype(jnp.int32)
+        if sep_pad:
+            # subsample_fast pads to a block_size multiple itself with the
+            # same edge replication (reference padding.py:9-10), keeping
+            # the pinned f32 add order of the divisible path
+            sub = B.subsample_fast_hw(band, bs)
+            sub = B.pad_edge_hw(sub, d)
+            coeffs = sep2(sub, sub.shape[-1])
             levels = Q.quantize(coeffs, method, d)
             return levels.astype(jnp.int32)
         if combined:
@@ -181,7 +203,7 @@ def make_encode(key: Tuple, dtype_name: str,
         levels = Q.quantize(coeffs, method, d)
         return levels.astype(jnp.int32)
 
-    f.separable = separable
+    f.separable = separable or sep_pad
     return f
 
 

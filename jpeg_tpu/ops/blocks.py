@@ -96,6 +96,34 @@ def subsample_fast(a, block_size: int):
     return acc * jnp.float32(1.0 / (bs * bs))
 
 
+def pad_edge_hw(a, factor: int):
+    """:func:`pad_edge` on the LAST TWO axes (batch-polymorphic)."""
+    if a.ndim == 2:
+        return pad_edge(a, factor)
+    ph = padded_size(a.shape[-2], factor) - a.shape[-2]
+    pw = padded_size(a.shape[-1], factor) - a.shape[-1]
+    if ph == 0 and pw == 0:
+        return a
+    return jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, ph), (0, pw)],
+                   mode="edge")
+
+
+def subsample_fast_hw(a, block_size: int):
+    """:func:`subsample_fast` on the LAST TWO axes (batch-polymorphic);
+    identical fixed evaluation order, so 2-D calls are bit-identical."""
+    h, w = a.shape[-2:]
+    if h % block_size or w % block_size:
+        a = pad_edge_hw(a, block_size)
+    x = a.astype(jnp.float32)
+    bs = block_size
+    acc = None
+    for bi in range(bs):
+        for bj in range(bs):
+            part = x[..., bi::bs, bj::bs]
+            acc = part if acc is None else acc + part
+    return acc * jnp.float32(1.0 / (bs * bs))
+
+
 def inflate(a, factor: int):
     """Nearest-neighbour upsample; inverse of :func:`subsample`
     (reference util.py:6-14)."""
