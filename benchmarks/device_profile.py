@@ -48,18 +48,36 @@ K1 = int(os.environ.get("CHAIN_K1", "2"))
 K2 = int(os.environ.get("CHAIN_K2", "10"))
 
 
+import itertools  # noqa: E402
+
+_salt_counter = itertools.count(1)
+
+
+def _salt():
+    """Fresh 4-byte scalar device arg per timed call.
+
+    The axon proxy DEDUPLICATES identical dispatches: re-running the same
+    executable on the same argument buffers can return a cached result in
+    ~0.1 ms instead of executing (observed mid-round-4: a fused_dec chain
+    read 0.00 ms / 2000% of HBM peak).  Threading a distinct scalar
+    through every call makes each (executable, args) pair unique, so the
+    timed call after the warm call really runs."""
+    import numpy as _np
+    return jax.device_put(_np.int32(next(_salt_counter)))
+
+
 def _wall_once(fn, *args) -> float:
-    out = jax.block_until_ready(fn(*args))      # compile + warm
+    jax.block_until_ready(fn(*args, _salt()))   # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))            # ONE fenced call
+    jax.block_until_ready(fn(*args, _salt()))   # ONE fenced call
     return time.perf_counter() - t0
 
 
 def marginal(body, init) -> float:
     """Seconds per op: marginal cost of k2-k1 extra in-program iterations."""
     def chain(k):
-        return jax.jit(
-            lambda x: jax.lax.fori_loop(0, k, lambda i, c: body(c), x))
+        return jax.jit(lambda x, s: (
+            jax.lax.fori_loop(0, k, lambda i, c: body(c), x), s))
     t1 = _wall_once(chain(K1), init)
     t2 = _wall_once(chain(K2), init)
     return max(0.0, (t2 - t1) / (K2 - K1))

@@ -36,20 +36,32 @@ K1 = int(os.environ.get("CHAIN_K1", "2"))
 K2 = int(os.environ.get("CHAIN_K2", "10"))
 
 
+import itertools
+
+_salt_counter = itertools.count(1)
+
+
+def _salt():
+    """Fresh scalar device arg per timed call: the axon proxy dedups
+    identical (executable, args) dispatches and can return a cached
+    result in ~0.1 ms instead of executing (see probes/README.md)."""
+    return jax.device_put(np.int32(next(_salt_counter)))
+
+
 def _wall_best(fn, *args, reps: int = 3) -> float:
-    jax.block_until_ready(fn(*args))
+    jax.block_until_ready(fn(*args, _salt()))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(*args, _salt()))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
 def marginal(body, init) -> float:
     def chain(k):
-        return jax.jit(
-            lambda x: jax.lax.fori_loop(0, k, lambda i, c: body(c), x))
+        return jax.jit(lambda x, s: (
+            jax.lax.fori_loop(0, k, lambda i, c: body(c), x), s))
     t1 = _wall_best(chain(K1), init)
     t2 = _wall_best(chain(K2), init)
     return max(0.0, (t2 - t1) / (K2 - K1))
@@ -73,7 +85,6 @@ def main() -> None:
     planes = np.repeat(plane[None, :, :], 3, 0).astype(np.uint8)
     pl_d = jax.device_put(planes)
     L = d * d
-    mp = h * w / 1e6
     print(f"backend={jax.default_backend()} {h}x{w} d={d} bs={bs} "
           f"chain {K1}->{K2}", file=sys.stderr)
 
@@ -119,7 +130,7 @@ def main() -> None:
 
     def run(name, fn):
         t = marginal(lambda p: p + dep(fn(p)).astype(dtp), pl_d)
-        mps = mp / t if t > 0 else float("inf")
+        mps = h * w / 1e6 / t if t > 0 else float("inf")
         print(f"{name:22s} {t * 1e3:8.2f} ms {mps:9.1f} MP/s",
               file=sys.stderr)
         return t

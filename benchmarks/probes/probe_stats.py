@@ -39,20 +39,32 @@ K1 = int(os.environ.get("CHAIN_K1", "4"))
 K2 = int(os.environ.get("CHAIN_K2", "36"))
 
 
+import itertools
+
+_salt_counter = itertools.count(1)
+
+
+def _salt():
+    """Fresh scalar device arg per timed call: the axon proxy dedups
+    identical (executable, args) dispatches and can return a cached
+    result in ~0.1 ms instead of executing (see probes/README.md)."""
+    return jax.device_put(np.int32(next(_salt_counter)))
+
+
 def _wall_best(fn, *args, reps: int = 3) -> float:
-    jax.block_until_ready(fn(*args))
+    jax.block_until_ready(fn(*args, _salt()))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(*args, _salt()))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
 def marginal(body, init) -> float:
     def chain(k):
-        return jax.jit(
-            lambda x: jax.lax.fori_loop(0, k, lambda i, c: body(c), x))
+        return jax.jit(lambda x, s: (
+            jax.lax.fori_loop(0, k, lambda i, c: body(c), x), s))
     t1 = _wall_best(chain(K1), init)
     t2 = _wall_best(chain(K2), init)
     return max(0.0, (t2 - t1) / (K2 - K1))
