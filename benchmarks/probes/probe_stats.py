@@ -71,6 +71,9 @@ def marginal(body, init) -> float:
 
 
 def dep(x):
+    # barrier: stop range analysis folding min(|x|, 0) for provably
+    # nonnegative stage outputs (see device_profile.py:dep)
+    x = jax.lax.optimization_barrier(x)
     return jnp.minimum(jnp.min(jnp.abs(x)).astype(jnp.int32), 0)
 
 
