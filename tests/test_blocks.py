@@ -81,3 +81,37 @@ def test_blockify_complex_dtype():
     blk = np.asarray(B.blockify(a, 2))
     assert blk.dtype.kind == "c"
     assert np.array_equal(blk[1, 1], a[2:4, 2:4])
+
+
+def test_subsample_fast_hw_batch_matches_2d():
+    # the batch-polymorphic fast path must equal per-plane 2-D calls
+    # bit-for-bit (same pinned f32 add order)
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, 256, (3, 13, 22), dtype=np.int32)
+    for bs in (1, 2, 3, 4):
+        got = np.asarray(B.subsample_fast_hw(batch, bs))
+        want = np.stack(
+            [np.asarray(B.subsample_fast(batch[i], bs)) for i in range(3)])
+        assert got.dtype == np.float32
+        assert np.array_equal(got, want), bs
+
+
+def test_subsample_fast_matches_mean_pool():
+    # rows-then-cols strided adds compute the exact mean pool in f64 terms
+    # (values are small integers: every partial sum is exact in f32)
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 256, (12, 20), dtype=np.int32)
+    for bs in (2, 4):
+        got = np.asarray(B.subsample_fast(a, bs)).astype(np.float64)
+        want = a.reshape(12 // bs, bs, 20 // bs, bs).mean(axis=(1, 3))
+        assert np.allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_pad_edge_hw_batch_matches_2d():
+    rng = np.random.default_rng(5)
+    batch = rng.integers(0, 256, (2, 10, 17), dtype=np.int32)
+    for f in (3, 8):
+        got = np.asarray(B.pad_edge_hw(batch, f))
+        want = np.stack(
+            [np.asarray(B.pad_edge(batch[i], f)) for i in range(2)])
+        assert np.array_equal(got, want), f
