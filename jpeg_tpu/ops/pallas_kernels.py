@@ -128,18 +128,24 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
                           G: int, WE: int):
     """Lockstep bitstream decode of one tile of blocks, entirely in VMEM.
 
-    TRANSPOSED layout — blocks live on the LANE axis: ``words_ref`` is
-    (W, DEC_TILE) int32, column t holding the OVERLAP-TABLE row containing
+    NATURAL in/out layout, TRANSPOSED compute: ``words_ref`` is
+    (DEC_TILE, W) int32 — row t holding the OVERLAP-TABLE row containing
     block t's stream words (big-endian bytes): W = 2G words starting at
     block t's G-word group boundary, so the whole block plus its alignment
     slack is inside the row ((max_bb + 2) // 4 <= G, see
-    entropy/device_codec.py:dec_group).  ``phase_ref`` (1, DEC_TILE) is
+    entropy/device_codec.py:dec_group).  ``phase_ref`` (DEC_TILE, 1) is
     each block's start-bit offset within its row (``phase < 32*G``).
-    Every per-block scalar (run, size, amp, widx, done, ...) is a (1, T)
-    lane row — at T=1024 that is 8 packed vregs per op, where a rows
-    layout would make each a (T, 1) sublane column (~128 mostly-empty
-    vregs per op, ~16x more VPU work; measured 3-5 ms vs ~1 ms for a
-    4 MP band).
+    The kernel transposes both operands in VMEM and transposes the out
+    plane back: the XLA-side relayouts of the old (W, T)-in/(L, T)-out
+    convention round-tripped ~19 MB through HBM per 4 MP band — moving
+    them inside Mosaic measured the full entropy decode at 0.64 vs
+    0.92 ms (benchmarks/probes/probe_dec4.py).
+
+    For the compute loop, blocks live on the LANE axis: every per-block
+    scalar (run, size, amp, widx, done, ...) is a (1, T) lane row — at
+    T=1024 that is 8 packed vregs per op, where a rows layout would make
+    each a (T, 1) sublane column (~128 mostly-empty vregs per op, ~16x
+    more VPU work; measured 3-5 ms vs ~1 ms for a 4 MP band).
 
     The kernel first discards the alignment phase with a log-depth sublane
     shift + one byte funnel, then TRIMS the buffer to ``WE`` rows — after
@@ -217,8 +223,8 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
     # word-row 0's top bit.  Word shifts are log-depth static slices +
     # selects; the residual byte shift is one funnel (>> 32 is UB, hence
     # >>31>>1).  The trimmed WE-row buffer then carries the whole loop.
-    words = words_ref[:].astype(jnp.uint32)
-    ph = phase_ref[:]                       # (1, T) int32, bits, < 32*G
+    words = jnp.transpose(words_ref[:], (1, 0)).astype(jnp.uint32)
+    ph = jnp.transpose(phase_ref[:], (1, 0))   # (1, T) int32, bits, < 32*G
     wsh = ph >> 5                           # whole-word part, [0, G)
     k = 1
     while k < G:
@@ -243,7 +249,7 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
             jnp.zeros((1, T), jnp.int32),
             jnp.zeros((L, T), jnp.int32))
     _, _, _, _, _, out = jax.lax.while_loop(cond, body, init)
-    out_ref[:] = out
+    out_ref[:] = jnp.transpose(out, (1, 0))
 
 
 def decode_stream_rows(word_rows, phase, L: int, weff: int = 0,
@@ -252,10 +258,11 @@ def decode_stream_rows(word_rows, phase, L: int, weff: int = 0,
     (N, L) int32 levels.  ``phase[i] < 32*(W//2)`` is the bit offset of
     block i's first code within its row.
 
-    The kernel runs transposed (blocks on lanes); the XLA transposes on
-    either side are cheap relayout passes.  Inputs are zero-padded to a
-    whole number of tiles — zero words decode as an immediate EOB, so pad
-    columns never extend a tile's lockstep loop.  ``weff`` trims the
+    The kernel computes transposed (blocks on lanes) but takes and
+    returns the NATURAL layout, transposing inside VMEM (see
+    :func:`_decode_stream_kernel`).  Inputs are zero-padded to a whole
+    number of tiles — zero words decode as an immediate EOB, so pad rows
+    never extend a tile's lockstep loop.  ``weff`` trims the
     post-alignment buffer (entropy/device_codec.py:dec_weff); 0 keeps all
     W rows (always safe).
     """
@@ -276,16 +283,16 @@ def decode_stream_rows(word_rows, phase, L: int, weff: int = 0,
     out = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((W, DEC_TILE), lambda i: (0, i),
+        in_specs=[pl.BlockSpec((DEC_TILE, W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, DEC_TILE), lambda i: (0, i),
+                  pl.BlockSpec((DEC_TILE, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((L, DEC_TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((DEC_TILE, L), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, npad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((npad, L), jnp.int32),
         interpret=interpret,
-    )(word_rows.T, phase.T)
-    return out.T[:n]
+    )(word_rows, phase)
+    return out[:n]
 
 
 ENC_TILE = 1024  # block columns per grid step for the bitstream encode kernel
