@@ -274,6 +274,20 @@ def make_decode(key: Tuple, dtype_name: str,
         base = dec2 if combined else dec_op
         w_t = np.kron(np.eye(pack), base.T)
         deq_v = np.tile(deq_v, pack)
+    if combined and use_pallas:
+        # pr-major operator slices: one (pack*L, pack*D) panel per pixel
+        # row of the (D, D) superblock.  Each matmul's output reshapes to
+        # contiguous plane-row groups, so the final interleave moves whole
+        # nh*D-element rows — the single-panel form needed a
+        # (nv, nh, D, D) -> (nv, D, nh, D) transpose whose 16-wide
+        # minor-axis chunks XLA lowers ~10x off bandwidth (the decode twin
+        # of the 47 ms subsample strided-slice bug, commit 4f19b0f;
+        # measured 2.64 -> 0.35 ms, benchmarks/probes/probe_cdec.py).
+        w_prs = [np.ascontiguousarray(
+            w_t[:, np.concatenate([np.arange(p * D * D + pr * D,
+                                             p * D * D + pr * D + D)
+                                   for p in range(pack)])])
+            for pr in range(D)]
 
     def f(levels):
         if use_pallas:
@@ -284,15 +298,18 @@ def make_decode(key: Tuple, dtype_name: str,
                 lv = jnp.concatenate(
                     [lv, jnp.zeros((n_grp * pack - n_blocks, L), jnp.int32)],
                     axis=0)
-            out_w = D * D if combined else L
-            pix = PK.decode_blocks(lv.reshape(n_grp, pack * L),
-                                   jnp.asarray(w_t, jnp.float32),
-                                   jnp.asarray(deq_v))
-            pix = pix.reshape(n_grp * pack, out_w)[:n_blocks]
+            lv = lv.reshape(n_grp, pack * L)
             if combined:
-                # one matmul emitted full (D, D) pixel superblocks: the
-                # plane is a pure relayout away, no inflate/crop passes.
-                return B.deblockify(pix.reshape(nv, nh, D, D))
+                deq_j = jnp.asarray(deq_v)
+                rows = [PK.decode_blocks(lv, jnp.asarray(wpr, jnp.float32),
+                                         deq_j)
+                        .reshape(n_grp * pack, D)[:n_blocks]
+                        .reshape(nv, nh * D)
+                        for wpr in w_prs]
+                return jnp.stack(rows, axis=1).reshape(nv * D, nh * D)
+            pix = PK.decode_blocks(lv, jnp.asarray(w_t, jnp.float32),
+                                   jnp.asarray(deq_v))
+            pix = pix.reshape(n_grp * pack, L)[:n_blocks]
             plane = B.deblockify(pix.reshape(nv, nh, d, d))
             plane = B.crop(plane, cfg.subsampled_height, cfg.subsampled_width)
             plane = B.inflate(plane, bs)
