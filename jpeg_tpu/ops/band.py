@@ -259,22 +259,22 @@ def make_decode(key: Tuple, dtype_name: str,
     combined = (transform in ("DCT", "DFT") and divisible
                 and dtype != jnp.float64)
     D = d * bs
-    if combined and use_pallas and 4 * D * D * L > (6 << 20):
-        # The Mosaic kernel holds the whole operator panel in VMEM; a
-        # combined (D*D, L) operator past ~6 MiB (e.g. d=24, bs=4: 21 MiB)
-        # cannot be resident.  Drop to the plain dezigzag+IDCT kernel and
-        # let XLA run the inflate/crop passes.
-        combined = False
-    if combined:
+    # The pallas path uses the combined operator for EVERY geometry:
+    # pr-major slices keep only a (pack*L, pack*D) panel resident (no
+    # VMEM cap), and inflate-then-crop == crop-then-inflate-then-crop
+    # because subsampled_height = ceil(h/bs) — a plane row r < h reads
+    # subsampled row r//bs < ceil(h/bs), never a DCT-pad row.
+    combined_p = transform in ("DCT", "DFT") and dtype != jnp.float64
+    if combined or (combined_p and use_pallas):
         dec2 = T.combined_decode_operator(d, bs, transform)   # (D*D, L)
     if use_pallas:
         pack = PK.pack_factor(L)
         dec_op = (T.decode_operator(d) if transform == "DCT"
                   else T.dft_decode_operator(d))
-        base = dec2 if combined else dec_op
+        base = dec2 if combined_p else dec_op
         w_t = np.kron(np.eye(pack), base.T)
         deq_v = np.tile(deq_v, pack)
-    if combined and use_pallas:
+    if combined_p and use_pallas:
         # pr-major operator slices: one (pack*L, pack*D) panel per pixel
         # row of the (D, D) superblock.  Each matmul's output reshapes to
         # contiguous plane-row groups, so the final interleave moves whole
@@ -299,14 +299,16 @@ def make_decode(key: Tuple, dtype_name: str,
                     [lv, jnp.zeros((n_grp * pack - n_blocks, L), jnp.int32)],
                     axis=0)
             lv = lv.reshape(n_grp, pack * L)
-            if combined:
+            if combined_p:
                 deq_j = jnp.asarray(deq_v)
                 rows = [PK.decode_blocks(lv, jnp.asarray(wpr, jnp.float32),
                                          deq_j)
                         .reshape(n_grp * pack, D)[:n_blocks]
                         .reshape(nv, nh * D)
                         for wpr in w_prs]
-                return jnp.stack(rows, axis=1).reshape(nv * D, nh * D)
+                plane = jnp.stack(rows, axis=1).reshape(nv * D, nh * D)
+                return plane if (nv * D == h and nh * D == w) \
+                    else B.crop(plane, h, w)
             pix = PK.decode_blocks(lv, jnp.asarray(w_t, jnp.float32),
                                    jnp.asarray(deq_v))
             pix = pix.reshape(n_grp * pack, L)[:n_blocks]

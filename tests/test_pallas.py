@@ -93,8 +93,13 @@ def test_decode_roundtrip_quality():
     assert np.abs(np.asarray(recon) - blocks).max() <= 1.0
 
 
-@pytest.mark.parametrize("d", [2, 4, 8])
-def test_packed_band_encode_decode_matches_xla(d):
+@pytest.mark.parametrize("d,transform", [
+    (2, "DCT"), (4, "DCT"), (8, "DCT"),
+    # d=24 is BASELINE config 3's shape family; ragged geometry exercises
+    # the any-geometry combined pr-major decode (crop after superblocks)
+    (24, "DCT"), (8, "DFT"),
+])
+def test_packed_band_encode_decode_matches_xla(d, transform):
     """MXU packing (P blocks per row) through make_encode/make_decode must
     equal the XLA f32 path exactly, including ragged pack groups."""
     import jax
@@ -104,6 +109,7 @@ def test_packed_band_encode_decode_matches_xla(d):
     w = d * 2 * 5 + 3            # ragged geometry
     h = d * 2 * 3 + 1
     cfg = Configuration(width=w, height=h, block_size=2, dct_size=d,
+                        transform=transform,
                         quantization=QuantizationMethod("divide", divisor=40))
     key = band_ops.config_key(cfg)
     band = RNG.integers(0, 256, (h, w)).astype(np.int32)
