@@ -186,6 +186,12 @@ def main() -> None:
             "headline")
 
     # Decode throughput (reported on stderr; encode stays the headline).
+    # decode_mps quotes the SERIAL number — the default single-image API
+    # (decompress_to_ycbcr) and, on this tunnel, the faster variant: the
+    # r4 pipelining probe (benchmarks/probes/probe_pipeline.py) showed the
+    # 12 MB host plane pull dominates both variants host->host, so the
+    # overlapped pipeline only wins with a device-resident consumer.  Same
+    # fixed-in-advance rule as the encode headline (never best-of-two).
     from jpeg_tpu import decompress_many, decompress_to_ycbcr
     decompress_to_ycbcr(blob)  # warm
     dtimes = []
@@ -215,8 +221,8 @@ def main() -> None:
         "vs_baseline": round(mps / base_img, 1),
         "backend": jax.default_backend(),
         "serial_mps": round(ser_mps, 2),
-        "decode_mps": round(IMG_H * IMG_W / pddt / 1e6, 2),
-        "decode_serial_mps": round(IMG_H * IMG_W / ddt / 1e6, 2),
+        "decode_mps": round(IMG_H * IMG_W / ddt / 1e6, 2),
+        "decode_pipelined_mps": round(IMG_H * IMG_W / pddt / 1e6, 2),
     }))
 
 

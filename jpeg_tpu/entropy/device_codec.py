@@ -52,13 +52,16 @@ def _geometry(levels):
     absamp = jnp.abs(levels).astype(jnp.int32)
     # size = min(bit_length + 1, 15) from the f32 exponent field: |a| <
     # 2**24 converts exactly, so bits>>23 = 127 + floor(log2 a) and size =
-    # (bits>>23) - 125 for a >= 1 (a|1 keeps a = 0 defined; every
-    # consumer masks zero slots with nz).  |amp| > 16383 clamps to 15
-    # either way — such levels make the stream unrepresentable and
-    # callers reject them via the returned max before using the buffer.
+    # (bits>>23) - 125 for a >= 1 (a|1 keeps a = 0 defined).  |amp| >
+    # 16383 clamps to 15 either way — such levels make the stream
+    # unrepresentable and callers reject them via the returned max before
+    # using the buffer.  Zero slots report size = 0 (the nz mask is one
+    # fused select; without it an unmasked consumer would silently emit
+    # wrong size fields — the old frexp form's contract, kept on purpose).
     fbits = jax.lax.bitcast_convert_type(
         (absamp | 1).astype(jnp.float32), jnp.uint32)
     size = jnp.minimum((fbits >> 23).astype(jnp.int32) - 125, MAX_SIZE)
+    size = jnp.where(nz, size, 0)
 
     L = levels.shape[-1]
     idx = jnp.arange(L, dtype=jnp.int32)

@@ -264,6 +264,9 @@ def make_decode(key: Tuple, dtype_name: str,
     # VMEM cap), and inflate-then-crop == crop-then-inflate-then-crop
     # because subsampled_height = ceil(h/bs) — a plane row r < h reads
     # subsampled row r//bs < ceil(h/bs), never a DCT-pad row.
+    # f32 contract vs the plain-XLA chain: equal except +-1 where the f64
+    # pre-round value is an exact .5 tie (the packed panels order f32 adds
+    # differently from XLA's shape-blocked dot; see utils/parity.py).
     combined_p = transform in ("DCT", "DFT") and dtype != jnp.float64
     if combined or (combined_p and use_pallas):
         dec2 = T.combined_decode_operator(d, bs, transform)   # (D*D, L)

@@ -163,7 +163,7 @@ def _decode_stream_kernel(words_ref, phase_ref, out_ref, *, L: int, W: int,
     the worst-case L + L//15 + 2.
     """
     max_steps = L + L // MAX_RUN + 2
-    T = DEC_TILE
+    T = words_ref.shape[0]          # tile rows (see decode_stream_rows gate)
     # The out plane stays int32: an int16 plane would halve the vregs of
     # the dominant (L, T) compare+select, but Mosaic cannot legalize the
     # packed-i16 select mask ("invalid relayout ... vector<64x1024xi1>"
@@ -271,8 +271,18 @@ def decode_stream_rows(word_rows, phase, L: int, weff: int = 0,
     n, W = word_rows.shape
     if weff <= 0 or weff > W:
         weff = W
-    grid = pl.cdiv(n, DEC_TILE)
-    npad = grid * DEC_TILE
+    # VMEM gate: the natural-layout kernel holds the (tile, W) input block,
+    # its in-VMEM transpose, the WE-trimmed loop buffer, the (L, tile)
+    # compute plane and the (tile, L) out copy live together — at
+    # worst-case geometry (L = 576 with max_block_bytes = 0 -> W = 1536)
+    # a 1024-row tile is ~23 MiB, past the ~16 MiB chip budget where the
+    # old XLA-side-transpose layout fit.  Halve the tile until the
+    # working set fits ~12 MiB; typical d = 8 shapes keep the full tile.
+    tile = DEC_TILE
+    while tile > 128 and 4 * tile * (2 * W + weff + 2 * L) > (12 << 20):
+        tile //= 2
+    grid = pl.cdiv(n, tile)
+    npad = grid * tile
     if npad != n:
         word_rows = jnp.concatenate(
             [word_rows, jnp.zeros((npad - n, W), word_rows.dtype)], axis=0)
@@ -283,11 +293,11 @@ def decode_stream_rows(word_rows, phase, L: int, weff: int = 0,
     out = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((DEC_TILE, W), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((tile, W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((DEC_TILE, 1), lambda i: (i, 0),
+                  pl.BlockSpec((tile, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((DEC_TILE, L), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, L), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad, L), jnp.int32),
         interpret=interpret,

@@ -34,17 +34,45 @@ def _cfg(**kw):
     return Configuration(**kw)
 
 
-def test_pallas_compiled_matches_xla(img):
+def _check_tie_contract(cfg, band):
+    """Both f32 paths (compiled Mosaic and XLA) vs the f64 oracle under the
+    +-1-at-provable-ties contract (jpeg_tpu/utils/parity.py)."""
     from jpeg_tpu.ops import band as band_ops
-    cfg = _cfg()
+    from jpeg_tpu.utils import parity as PAR
     key = band_ops.config_key(cfg)
-    band = img[:, :, 0].astype(np.int32)
     lv_pal = np.asarray(jax.jit(band_ops.make_encode(key, "float32", True))(band))
     lv_xla = np.asarray(jax.jit(band_ops.make_encode(key, "float32", False))(band))
-    np.testing.assert_array_equal(lv_pal, lv_xla)
+    lv_ref, et = PAR.encode_reference_and_ties(cfg, band)
+    PAR.assert_tie_equal(lv_xla, lv_ref, et, "encode xla vs f64")
+    PAR.assert_tie_equal(lv_pal, lv_ref, et, "encode mosaic vs f64")
     px_pal = np.asarray(jax.jit(band_ops.make_decode(key, "float32", True))(lv_xla))
     px_xla = np.asarray(jax.jit(band_ops.make_decode(key, "float32", False))(lv_xla))
-    np.testing.assert_array_equal(px_pal, px_xla)
+    px_ref, dt = PAR.decode_reference_and_ties(cfg, lv_xla)
+    PAR.assert_tie_equal(px_xla, px_ref, dt, "decode xla vs f64")
+    PAR.assert_tie_equal(px_pal, px_ref, dt, "decode mosaic vs f64")
+
+
+def test_pallas_compiled_matches_xla(img):
+    _check_tie_contract(_cfg(), img[:, :, 0].astype(np.int32))
+
+
+@pytest.mark.parametrize("d,transform,bs", [
+    (24, "DCT", 2),   # BASELINE config 3 family; worst-case panel width
+    (8, "DFT", 2),    # dyadic-rational operator -> tie-dense
+    (8, "DCT", 3),    # non-pow2 subsample divisor
+])
+def test_ragged_combined_decode_on_chip(d, transform, bs):
+    # Real-Mosaic coverage for the any-geometry combined pr-major decode
+    # (ops/band.py combined_p): ragged at both the subsample and DCT-pad
+    # stages, checked against the f64 oracle under the tie contract.
+    from jpeg_tpu import Configuration, QuantizationMethod
+    rng = np.random.default_rng(1000 * d + bs)
+    w, h = d * 2 * 5 + 3, d * 2 * 3 + 1
+    cfg = Configuration(width=w, height=h, block_size=bs, dct_size=d,
+                        transform=transform,
+                        quantization=QuantizationMethod("divide", divisor=40))
+    band = rng.integers(0, 256, (h, w)).astype(np.int32)
+    _check_tie_contract(cfg, band)
 
 
 def test_roundtrip_quality_and_entropy_modes(img, monkeypatch):
@@ -111,18 +139,11 @@ def test_exotic_configs_roundtrip(img):
 
 
 def test_dft_pallas_matches_xla_on_chip(img):
-    # Compiled Mosaic DFT kernel (Re(F kron F) operator) == XLA f32 matmul.
+    # Compiled Mosaic DFT kernel (Re(F kron F) operator) vs XLA f32 matmul
+    # and the f64 oracle, under the tie contract.
     from jpeg_tpu import QuantizationMethod
-    from jpeg_tpu.ops import band as band_ops
     cfg = _cfg(transform="DFT", quantization=QuantizationMethod("none"))
-    key = band_ops.config_key(cfg)
-    band = img[:, :, 0].astype(np.int32)
-    lv_pal = np.asarray(jax.jit(band_ops.make_encode(key, "float32", True))(band))
-    lv_xla = np.asarray(jax.jit(band_ops.make_encode(key, "float32", False))(band))
-    np.testing.assert_array_equal(lv_pal, lv_xla)
-    px_pal = np.asarray(jax.jit(band_ops.make_decode(key, "float32", True))(lv_xla))
-    px_xla = np.asarray(jax.jit(band_ops.make_decode(key, "float32", False))(lv_xla))
-    np.testing.assert_array_equal(px_pal, px_xla)
+    _check_tie_contract(cfg, img[:, :, 0].astype(np.int32))
 
 
 def test_device_decode_without_native_codec(img, monkeypatch):
