@@ -190,6 +190,71 @@ def _decode3_stream_fn(key, dtype_name: str, use_pallas: bool,
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _decode3_foreign_fn(key, dtype_name: str, use_pallas: bool,
+                        nbytes_pad: int, span_cap: int):
+    """ONE-dispatch host-free decode of a foreign stream: (padded stream
+    bytes/words, band end offsets) -> ((3, H, W) u8 planes, ok).
+
+    Scan + bit parse + dequant + IDCT + clamp in a single program — no
+    host boundary scan at all (replacing the reference's serial parse,
+    rle_byte_stream.py:60-88).  The walker-window rung ``span_cap`` sizes
+    BOTH the scan (entropy/device_scan.py) and the decode word-row
+    geometry: an ok result certifies every block fits the rung, so the
+    decode gather runs at rung-sized rows instead of the worst case.  ok
+    False (a block outlived the rung, or a malformed stream) means the
+    planes are garbage — the host escalates to the next rung or falls
+    back to the host-scan path for its canonical error.  Blocks are not
+    length-sorted (lengths would cost a device argsort; foreign streams
+    pay at most the unsorted tile penalty, ~0.3 ms at 4 MP)."""
+    from .entropy import device_codec as DC
+    from .entropy import device_scan as DS
+    h, w, bs, d, transform, qname, qparams = key
+    cfg = Configuration(width=w, height=h, block_size=bs, dct_size=d,
+                        transform=transform,
+                        quantization=QuantizationMethod(qname, **dict(qparams)))
+    L = d * d
+    nb = cfg.num_blocks
+    dec = _band.make_decode(key, dtype_name, use_pallas)
+    mb = DC.bucket_block_bytes(L, span_cap) if span_cap > 0 else 0
+
+    def f(stream, ends):
+        starts, ok = DS.scan_bands_starts(stream, ends, nb, L,
+                                          span_cap=span_cap)
+        levels = DC.decode_stream(stream, starts, L, mb, sort=False,
+                                  total_len=ends[-1])
+        planes = jax.vmap(dec)(levels.reshape(3, nb, L))
+        return planes.astype(jnp.uint8), ok
+
+    return jax.jit(f)
+
+
+def _foreign_decode(config: Configuration, streams, dt, pal):
+    """Run the fused scan+decode over the rung ladder; None if every rung
+    rejects (caller falls back to the host scan for its canonical error)."""
+    from .entropy import device_codec as DC
+    from .entropy import device_scan as DS
+    from .utils.device import quarter_cap
+    L = config.dct_size ** 2
+    buf = b"".join(streams)
+    # Quarter-octave padding: every padded byte is a walker (device_scan).
+    pad = quarter_cap(len(buf))
+    arr = np.zeros(pad, np.uint8)
+    arr[:len(buf)] = np.frombuffer(buf, np.uint8)
+    arr_dev = jax.device_put(DC.host_stream_arg(arr))
+    ends = np.cumsum([len(s) for s in streams]).astype(np.int32)
+    rungs = DS.span_rungs(L)
+    first = min(DS._rung_cache.get(L, 0), len(rungs) - 1)
+    key = _band.config_key(config)
+    for i in range(first, len(rungs)):
+        fn = _decode3_foreign_fn(key, dt.name, pal, pad, rungs[i])
+        planes, ok = fn(arr_dev, jnp.asarray(ends))
+        if bool(ok):
+            DS._rung_cache[L] = i
+            return planes
+    return None
+
+
 def _dt_and_pallas(config: Configuration, dtype):
     dt = np.dtype(dtype if dtype is not None else _band.default_dtype())
     pal = dt == np.float32 and _band.use_pallas_default(config.transform)
@@ -384,6 +449,15 @@ def _start_decompress(bytestream: bytes, dtype):
             and pow2_cap(total) * 8 < DC._CAP_BITS):
         nb, L = config.num_blocks, config.dct_size ** 2
         streams = [data.y, data.cb, data.cr]
+        from .entropy.device_scan import scan_mode
+        if scan_mode(total) == "device" and nb > 0:
+            # Policy-selected host-free path: scan + parse + IDCT in ONE
+            # dispatch (_decode3_foreign_fn).  A rung-ladder rejection
+            # falls through to the host-scan path below, whose scanner
+            # raises the canonical error for malformed streams.
+            planes = _foreign_decode(config, streams, dt, pal)
+            if planes is not None:
+                return planes
         buf = b"".join(streams)
         pad = pow2_cap(len(buf))
         arr = np.zeros(pad, np.uint8)

@@ -94,6 +94,25 @@ def _scan_geometry(L: int, span_cap: int = 0):
     return G, we, span
 
 
+# MEASURED NEGATIVE RESULT (round 5, benchmarks/probes/probe_foreign.py +
+# the settle-step simulation in probes/README.md): a two-sweep split —
+# cap every walker at ~12 units (the mean settles in ~6 while a
+# 1024-column tile's lockstep max is ~27), then resume only the ~13%
+# survivors — CANNOT be made profitable on TPU.  Survivors are uniformly
+# spread (every 256-column tile contains one even at cap 20), so the
+# resume sweep needs a genuine compaction, and every fixed-shape
+# compaction primitive (jnp.nonzero(size=K), .at[idx].set) lowers to a
+# serialized TPU scatter: the two-sweep measured 50.8 ms vs 21.9 ms
+# single-sweep for a 1.4 MB stream.  The ~4.7x lockstep-sync waste is
+# therefore a structural floor of the speculative per-byte formulation;
+# combined with its P x tile-max work multiplier it lands ~3-4x above
+# the serial C++ scan (3.8 vs ~14 ms/MB) — the device scan's value is
+# host-freedom (one-dispatch foreign decode; ~100x over the pure-Python
+# scanner when no compiler exists), not beating the native scanner.  The
+# walker kernel keeps its cap/resume parameters (tested) for a future
+# backend where compaction is cheap.
+
+
 def _walker_table_pallas(stream, P: int, nbits, L: int, span_cap: int = 0):
     """Phase 1 via the Mosaic walker: E[q] = end byte of the block starting
     at byte q (ERR sentinel P+1 for malformed/garbage/past-the-end — and,
@@ -114,9 +133,28 @@ def _walker_table_pallas(stream, P: int, nbits, L: int, span_cap: int = 0):
         # (never read zeros shifted in past the row) — cap the bits they
         # are allowed to consume at what the row provably covers.
         rem = jnp.minimum(rem, jnp.int32(8 * span))
-    blen = PK.scan_walk_rows(rows, phase, rem, L, weff=we)
     ERR = jnp.int32(P + 1)
+    blen, _c, _wx = PK.scan_walk_rows(rows, phase, rem, L, weff=we)
     return jnp.where(blen >= 0, q + blen, ERR)
+
+
+def _end_table(stream, n_bytes, L: int, span_cap: int = 0):
+    """Phase 1 for a padded stream buffer: (E over [0, P+1], ERR).
+
+    ``E[q]`` = end byte of the block starting at byte q, or the absorbing
+    ERR sentinel (P+1); ``n_bytes`` (traced) is the true buffer length for
+    truncation detection."""
+    from .device_codec import _pallas_decode_enabled
+    is_words = stream.dtype != jnp.uint8
+    P = stream.shape[0] * (4 if is_words else 1)
+    ERR = jnp.int32(P + 1)
+    nbits = n_bytes.astype(jnp.int32) * 8
+
+    if _pallas_decode_enabled():
+        return jnp.concatenate([
+            _walker_table_pallas(stream, P, nbits, L, span_cap),
+            jnp.full(2, ERR, jnp.int32)]), ERR
+    return _end_table_xla(stream, P, nbits, L), ERR
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "L", "span_cap"))
@@ -130,18 +168,49 @@ def scan_table_and_starts(stream, n_bytes, num_blocks: int, L: int,
     (traced scalar).  ``ok`` is a scalar bool; ``starts`` is meaningful
     only when ``ok`` is True.
     """
+    E, ERR = _end_table(stream, n_bytes, L, span_cap)
+    return _orbit_starts(E, n_bytes, num_blocks, ERR)
+
+
+def scan_bands_starts(stream, ends, num_blocks: int, L: int,
+                      span_cap: int = 0):
+    """In-program multi-band scan: ONE walker table over the concatenated
+    band streams, then one orbit chase per band from its start offset.
+
+    ``ends`` is the (B,) int32 cumulative band end offsets (band b occupies
+    bytes [ends[b-1], ends[b])); every band has ``num_blocks`` blocks.
+    Returns ``(starts (B*num_blocks,) i32, ok)`` — ok only when EVERY
+    band's orbit lands exactly on its end offset.  E is monotonic
+    (E[q] > q), so a band whose parse would consume the next band's bytes
+    overshoots its end and fails the per-band check; composable inside a
+    larger jit (api._decode3_foreign_fn fuses this with the bit parse and
+    the coefficient decode into ONE dispatch).
+    """
+    from ..ops import pallas_kernels as PK
     from .device_codec import _pallas_decode_enabled
+    E, ERR = _end_table(stream, ends[-1], L, span_cap)
+    B = ends.shape[0]
+    if (_pallas_decode_enabled() and num_blocks > 0
+            and 4 * E.shape[0] <= PK.CHASE_VMEM_CAP):
+        # All B orbits advance in ONE serial kernel loop (sublane-parallel
+        # chains): nb steps instead of B*nb across separate chase calls.
+        s0s = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               ends[:-1].astype(jnp.int32)])
+        starts, oks = PK.chase_starts_multi(E, ends, s0s, num_blocks)
+        return starts.reshape(-1), jnp.all(oks)
+    starts, ok = [], None
+    for b in range(B):
+        s0 = jnp.int32(0) if b == 0 else ends[b - 1].astype(jnp.int32)
+        st, o = _orbit_starts(E, ends[b], num_blocks, ERR, s0=s0)
+        starts.append(st)
+        ok = o if ok is None else (ok & o)
+    return jnp.concatenate(starts), ok
+
+
+def _end_table_xla(stream, P: int, nbits, L: int):
+    """Portable phase-1 fallback: static-shaped gather+elementwise walk."""
     is_words = stream.dtype != jnp.uint8
-    P = stream.shape[0] * (4 if is_words else 1)
     ERR = jnp.int32(P + 1)
-    nbits = n_bytes.astype(jnp.int32) * 8
-
-    if _pallas_decode_enabled():
-        E = jnp.concatenate([
-            _walker_table_pallas(stream, P, nbits, L, span_cap),
-            jnp.full(2, ERR, jnp.int32)])
-        return _orbit_starts(E, n_bytes, num_blocks, ERR)
-
     if is_words:
         stream = jax.lax.bitcast_convert_type(
             stream.astype(jnp.uint32), jnp.uint8).reshape(-1)
@@ -192,15 +261,14 @@ def scan_table_and_starts(stream, n_bytes, num_blocks: int, L: int,
         not_settled, step, (jnp.int32(0), pos0, z, z != 0, z != 0))
     # E over the extended domain [0, P+1]: q=P (start at/after stream end)
     # and the ERR state itself both absorb to ERR.
-    E = jnp.concatenate([
+    return jnp.concatenate([
         jnp.where(done & ~err, pos >> 3, ERR),
         jnp.full(2, ERR, jnp.int32)])
-    return _orbit_starts(E, n_bytes, num_blocks, ERR)
 
 
-def _orbit_starts(E, n_bytes, num_blocks: int, ERR):
-    """Phases 2 + 3: orbit of 0 under the end-table E, plus the
-    single-scalar stream validation.
+def _orbit_starts(E, n_bytes, num_blocks: int, ERR, s0=None):
+    """Phases 2 + 3: orbit of ``s0`` (default 0) under the end-table E,
+    plus the single-scalar stream validation (end == ``n_bytes``).
 
     Two implementations: a VMEM-resident serial chase kernel
     (ops/pallas_kernels.py:_chase_kernel) whenever Pallas is enabled and E
@@ -212,10 +280,12 @@ def _orbit_starts(E, n_bytes, num_blocks: int, ERR):
     from .device_codec import _pallas_decode_enabled
     if (_pallas_decode_enabled() and num_blocks > 0
             and 4 * E.shape[0] <= PK.CHASE_VMEM_CAP):
-        return PK.chase_starts(E, n_bytes, num_blocks)
+        return PK.chase_starts(E, n_bytes, num_blocks, s0=s0)
     rounds = max(1, int(np.ceil(np.log2(num_blocks + 1))))
     nb_pad = 1 << rounds
-    orbit = jnp.zeros(nb_pad, jnp.int32)          # orbit[0] = 0 = s_0
+    orbit = jnp.zeros(nb_pad, jnp.int32)          # orbit[0] = s_0
+    if s0 is not None:
+        orbit = orbit.at[0].set(jnp.asarray(s0, jnp.int32))
     T = E
     filled = 1
     for _ in range(rounds):
@@ -237,8 +307,53 @@ def _orbit_starts(E, n_bytes, num_blocks: int, ERR):
 # longer than the rung absorb to ERR and the scan escalates; the last
 # rung is always the worst-case span (exact host semantics).  Per-L cache
 # of the last rung that succeeded, so steady-state streams pay one scan.
-_SPAN_RUNGS = (62, 126)
+# The 46-byte rung shares G=16 with 62 but trims the walkers' funnel
+# buffer 17 -> 13 rows — phase-1 cost is ~linear in that width, and
+# typical photographic blocks are well under 46 bytes.
+_SPAN_RUNGS = (46, 62, 126)
 _rung_cache: dict = {}
+
+
+def span_rungs(L: int):
+    """Walker-window escalation ladder for dct area L (0 = worst case)."""
+    return [s for s in _SPAN_RUNGS if s < _worst_span(L)] + [0]
+
+
+# Measured on this container (2026-08-20, benchmarks/probes/probe_foreign
+# .py): the pure-Python word-window scanner runs ~0.9-1.1 MB/s while the
+# fused device scan+decode adds ~13 ms/MB of marginal device time — so
+# once a stream passes a few tens of KB the walker wins by >50x.  Below
+# the threshold the (tunnel-dependent) dispatch constant dominates either
+# way and the host path avoids compiling a second program family.
+PY_SCAN_DEVICE_MIN_BYTES = 1 << 16
+
+
+def scan_mode(n_bytes: int = 1 << 30) -> str:
+    """Boundary-scan policy for foreign streams: 'host' or 'device'.
+
+    Replaces the old raw JPEG_TPU_DEVICE_SCAN opt-in flag with a measured
+    auto policy; `JPEG_TPU_SCAN=host|device` still forces either side (and
+    the legacy flag keeps meaning 'device').
+
+    Auto: the C++ host scanner measured ~3x the Mosaic walker's
+    throughput (1.66 vs 5.50 ms on 407 KB, docs/ROUND4.md item 3) AND
+    runs off the device, so it stays the default whenever it exists.
+    Without a compiler the host alternative is the pure-Python scanner
+    (~1 MB/s): the device scan wins past PY_SCAN_DEVICE_MIN_BYTES.
+    """
+    import os
+    v = os.environ.get("JPEG_TPU_SCAN", "").lower()
+    if v in ("host", "device"):
+        return v
+    if os.environ.get("JPEG_TPU_DEVICE_SCAN"):       # legacy alias
+        return "device"
+    from .device_codec import _pallas_decode_enabled
+    if not _pallas_decode_enabled():
+        return "host"
+    from .. import entropy as E
+    if E._get_native() is not None:
+        return "host"
+    return "device" if n_bytes >= PY_SCAN_DEVICE_MIN_BYTES else "host"
 
 
 def scan_offsets_device(data: bytes, num_blocks: int, L: int):

@@ -397,13 +397,20 @@ def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int):
     ~3x the levels themselves; measured 0.28 ms of XLA + ~25 MB of traffic
     at 4.2 MP).
 
-    Same transposed layout and append/top-justify structure as
-    :func:`_encode_stream_kernel`; the run-length state (index of the
-    previous nonzero, reference util.py:146-154) is a (1, T) register
-    carried across the static slot loop.  Emits the per-block byte count
-    as a second output (bit-identical to _unit_groups' blk_bytes).
+    NATURAL in/out layout, TRANSPOSED compute — the decode kernel's
+    convention (see :func:`_decode_stream_kernel`): the (tile, L) levels
+    block and the (tile, W) rows output transpose inside VMEM, killing the
+    XLA-side ``levels.T`` (~12.6 MB at 4.2 MP) and ``rows.T`` relayouts
+    that the old (L, T)-in/(W, T)-out convention forced — measured
+    enc_sized 0.97 -> 0.47 ms at 4.2 MP (benchmarks/probes/probe_enc5.py).
+    For the compute loop blocks live on the LANE axis; the run-length
+    state (index of the previous nonzero, reference util.py:146-154) is a
+    (1, T) register carried across the static slot loop.  Emits the
+    per-block byte count as a second output (bit-identical to
+    _unit_groups' blk_bytes).
     """
-    T = ENC_TILE
+    lvT = jnp.transpose(lv_ref[:], (1, 0))        # (L, T) in VMEM
+    T = lvT.shape[1]
     z = jnp.zeros((1, T), jnp.uint32)
     words = jnp.zeros((W, T), jnp.uint32)
     total = jnp.zeros((1, T), jnp.int32)
@@ -416,7 +423,7 @@ def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int):
     # L <= 75 this is zero extra work.
     n_sub = max(0, -(-((L - 1) // MAX_RUN - 4) // 4)) if L > 75 else 0
     for s in range(L):
-        lv = lv_ref[s:s + 1, :]                   # (1, T) int32
+        lv = lvT[s:s + 1, :]                      # (1, T) int32
         nz = lv != 0
         absamp = jnp.abs(lv)
         # size = min(bit_length + 1, 15) from the f32 exponent field:
@@ -471,18 +478,28 @@ def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int):
     c_eob = 8 + pad
     total = total + c_eob
     words = _append_group(words, c_eob, z, z, W)
-    out_ref[:] = _top_justify(words, total, W).astype(jnp.int32)
-    bb_ref[:] = total >> 3
+    rows = _top_justify(words, total, W).astype(jnp.int32)
+    out_ref[:] = jnp.transpose(rows, (1, 0))      # (T, W) natural
+    bb_ref[:] = jnp.transpose(total >> 3, (1, 0))
 
 
 def encode_stream_rows_lv(levels, W: int, interpret=None):
     """(N, L) int32 levels -> ((N, W) int32 stream-word rows, (N,) int32
-    block bytes), unit groups computed inside the kernel."""
+    block bytes), unit groups computed inside the kernel.  Natural in/out
+    layout — no XLA-side transposes (see :func:`_encode_stream_lv_kernel`);
+    the rows feed ``compact_rows``'s contiguous unit reshape directly."""
     if interpret is None:
         interpret = _interpret()
     n, L = levels.shape
-    grid = pl.cdiv(n, ENC_TILE)
-    npad = grid * ENC_TILE
+    # VMEM gate, as decode_stream_rows: the natural block + its transpose
+    # + the (W, T) words buffer (plus ~2 append-ladder copies) + the
+    # (T, W) out copy live together; halve the tile until ~12 MiB fits.
+    # Typical d = 8 content widths (L = 64, W <= 16) keep the full tile.
+    tile = ENC_TILE
+    while tile > 128 and 4 * tile * (2 * L + 5 * W) > (12 << 20):
+        tile //= 2
+    grid = pl.cdiv(n, tile)
+    npad = grid * tile
     if npad != n:
         levels = jnp.concatenate(
             [levels, jnp.zeros((npad - n, L), jnp.int32)], axis=0)
@@ -490,17 +507,17 @@ def encode_stream_rows_lv(levels, W: int, interpret=None):
     rows, bb = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((L, ENC_TILE), lambda i: (0, i),
+        in_specs=[pl.BlockSpec((tile, L), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((W, ENC_TILE), lambda i: (0, i),
+        out_specs=[pl.BlockSpec((tile, W), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, ENC_TILE), lambda i: (0, i),
+                   pl.BlockSpec((tile, 1), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((W, npad), jnp.int32),
-                   jax.ShapeDtypeStruct((1, npad), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((npad, W), jnp.int32),
+                   jax.ShapeDtypeStruct((npad, 1), jnp.int32)],
         interpret=interpret,
-    )(levels.T)
-    return rows.T[:n], bb[0, :n]
+    )(levels)
+    return rows[:n], bb[:n, 0]
 
 
 def encode_stream_rows(cbits, vhi, vlo, W: int, interpret=None):
@@ -699,8 +716,9 @@ def decode_blocks(levels, w_t, deq, interpret=None):
       deq.astype(jnp.int32).reshape(1, K))
 
 
-def _scan_walk_kernel(words_ref, phase_ref, rem_ref, out_ref, *, L: int,
-                      W: int, G: int, WE: int):
+def _scan_walk_kernel(words_ref, phase_ref, rem_ref, c0_ref, w0_ref,
+                      out_ref, c_ref, wx_ref, *, L: int,
+                      W: int, G: int, WE: int, CAP: int):
     """Lockstep speculative boundary-scan walkers — one per stream BYTE.
 
     Column q walks "the block starting at byte q" with the host scanner's
@@ -714,13 +732,24 @@ def _scan_walk_kernel(words_ref, phase_ref, rem_ref, out_ref, *, L: int,
     each walker's start byte (<= 0 past the stream end -> immediate -1,
     the absorbing ERR of the speculative table).
 
+    Two-sweep support: ``CAP`` bounds the lockstep iterations; columns
+    still live at the cap emit -2 with their carried (consumed bits,
+    coefficient index) in ``c_ref``/``wx_ref``, and a later sweep RESUMES
+    them via ``c0_ref``/``w0_ref`` (bit offset within the block, so the
+    EOB byte-pad stays block-relative) with a row gathered at the
+    current — not the original — byte.  The mean walker settles in ~6
+    units while a 1024-column tile's max is ~27 (measured, natural 4 MP
+    content): capping the first sweep and re-running only the ~13%
+    survivors compacted removes most of the lockstep synchronization
+    waste (entropy/device_scan.py:_walker_table_pallas).
+
     Replaces the XLA per-step-gather walkers (entropy/device_scan.py),
     which paid one HBM gather per unit per byte position — measured 156 ms
     for a 340 KB band; the funnel formulation streams each walker's bytes
     through static positions instead.
     """
-    max_steps = L + L // MAX_RUN + 2
-    T = DEC_TILE
+    max_steps = min(CAP, L + L // MAX_RUN + 2)
+    T = words_ref.shape[1]
     zrow = jnp.zeros((1, T), jnp.uint32)
 
     def cond(carry):
@@ -783,45 +812,60 @@ def _scan_walk_kernel(words_ref, phase_ref, rem_ref, out_ref, *, L: int,
     words = (words << b) | ((wnext >> (jnp.uint32(31) - b)) >> 1)
     words = words[:WE]
 
-    z = jnp.zeros((1, T), jnp.int32)
-    init = (jnp.int32(0), words, z, z,
+    init = (jnp.int32(0), words, c0_ref[:], w0_ref[:],
             jnp.where(rem <= 0, 2, 0),               # past-the-end -> ERR
             jnp.full((1, T), -1, jnp.int32))
-    _, _, _, _, _, out = jax.lax.while_loop(cond, body, init)
-    out_ref[:] = out
+    _, _, c, widx, st, out = jax.lax.while_loop(cond, body, init)
+    out_ref[:] = jnp.where(st == 0, -2, out)         # -2 = capped, resume
+    c_ref[:] = c
+    wx_ref[:] = widx
 
 
 def scan_walk_rows(word_rows, phase, rem, L: int, weff: int = 0,
-                   interpret=None):
+                   cap: int = 0, c0=None, w0=None, interpret=None):
     """(P, W = 2G) overlap-table rows + (P, 1) bit phases + (P, 1) remaining
-    stream bits -> (P,) int32 block byte lengths (-1 = error/garbage)."""
+    stream bits -> ((P,) int32 block byte lengths, (P,) consumed bits,
+    (P,) coefficient indices).  Lengths: >= 0 settled, -1 error/garbage,
+    -2 still live at the ``cap`` (resume via ``c0``/``w0``; 0 = the full
+    unit budget, single sweep)."""
     if interpret is None:
         interpret = _interpret()
     n, W = word_rows.shape
     if weff <= 0 or weff > W:
         weff = W
+    if cap <= 0:
+        cap = L + L // MAX_RUN + 2
+    if c0 is None:
+        c0 = jnp.zeros((n, 1), jnp.int32)
+    if w0 is None:
+        w0 = jnp.zeros((n, 1), jnp.int32)
     grid = pl.cdiv(n, DEC_TILE)
     npad = grid * DEC_TILE
     if npad != n:
         word_rows = jnp.concatenate(
             [word_rows, jnp.zeros((npad - n, W), word_rows.dtype)], axis=0)
-        phase = jnp.concatenate(
-            [phase, jnp.zeros((npad - n, 1), phase.dtype)], axis=0)
-        rem = jnp.concatenate(
-            [rem, jnp.zeros((npad - n, 1), rem.dtype)], axis=0)
-    kern = functools.partial(_scan_walk_kernel, L=L, W=W, G=W // 2, WE=weff)
+        pad1 = jnp.zeros((npad - n, 1), jnp.int32)
+        phase = jnp.concatenate([phase, pad1], axis=0)
+        rem = jnp.concatenate([rem, pad1], axis=0)
+        c0 = jnp.concatenate([c0, pad1], axis=0)
+        w0 = jnp.concatenate([w0, pad1], axis=0)
+    kern = functools.partial(_scan_walk_kernel, L=L, W=W, G=W // 2, WE=weff,
+                             CAP=cap)
     spec1 = pl.BlockSpec((1, DEC_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out, c, wx = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[pl.BlockSpec((W, DEC_TILE), lambda i: (0, i),
-                               memory_space=pltpu.VMEM), spec1, spec1],
-        out_specs=spec1,
-        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.int32),
+                               memory_space=pltpu.VMEM),
+                  spec1, spec1, spec1, spec1],
+        out_specs=[spec1, spec1, spec1],
+        out_shape=[jax.ShapeDtypeStruct((1, npad), jnp.int32),
+                   jax.ShapeDtypeStruct((1, npad), jnp.int32),
+                   jax.ShapeDtypeStruct((1, npad), jnp.int32)],
         interpret=interpret,
-    )(word_rows.T, phase.T, rem.T)
-    return out[0, :n]
+    )(word_rows.T, phase.T, rem.T, c0.T, w0.T)
+    return out[0, :n], c[0, :n], wx[0, :n]
 
 
 def _chase_kernel(n_ref, e_ref, out_ref, ok_ref, *, nb: int, rows: int):
@@ -834,7 +878,9 @@ def _chase_kernel(n_ref, e_ref, out_ref, ok_ref, *, nb: int, rows: int):
     one dynamic sublane slice + a lane one-hot reduce (~8 VPU ops on
     (1, 128)).  E is (rows, 128) int32, entry q at [q >> 7, q & 127],
     padded with the ERR sentinel; out is the packed starts table in the
-    same layout; ok = (chase end == true stream length).
+    same layout; ok = (chase end == the target end offset).  ``n_ref`` is
+    (2,) SMEM: [target end, start offset] — a nonzero start chases a
+    band that begins mid-buffer (api-level multi-band containers).
     """
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     cap = rows * 128 - 1
@@ -854,19 +900,90 @@ def _chase_kernel(n_ref, e_ref, out_ref, ok_ref, *, nb: int, rows: int):
         return nxt, row
 
     end, row = jax.lax.fori_loop(
-        0, nb, body, (jnp.zeros((), jnp.int32),
-                      jnp.zeros((1, 128), jnp.int32)))
+        0, nb, body, (n_ref[1], jnp.zeros((1, 128), jnp.int32)))
     if nb & 127:                        # partial last row never hit a flush
         out_ref[pl.ds(nb >> 7, 1), :] = row
     ok_ref[0, 0] = (end == n_ref[0]).astype(jnp.int32)
 
 
+def _chase_multi_kernel(hdr_ref, e_ref, out_ref, ok_ref, *, nb: int,
+                        rows: int, B: int):
+    """B independent orbit chases in ONE serial loop (one per band of a
+    multi-band container): chain j's position lives on sublane j, so the
+    j lookups of a step are independent and pipeline behind each other —
+    the wall cost per step grows far slower than x B, while the serial
+    step count drops from B*nb (B separate chase calls) to nb.  Same
+    E-table layout and flush scheme as :func:`_chase_kernel`; ``hdr_ref``
+    is (2B,) SMEM [targets..., start offsets...], out is
+    (ceil(nb/128), B, 128) packed starts."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    cap = rows * 128 - 1
+
+    def body(b, carry):
+        pos, row = carry                    # (B, 1), (B, 128)
+        row = jnp.where(lanes == (b & 127), pos, row)
+
+        @pl.when((b & 127) == 127)
+        def _():
+            out_ref[pl.ds(b >> 7, 1), :, :] = row[None]
+
+        nxts = []
+        for j in range(B):
+            p = jnp.minimum(pos[j, 0], cap)
+            erow = e_ref[pl.ds(p >> 7, 1), :]
+            nxts.append(jnp.sum(
+                jnp.where(lanes == (p & 127), erow, 0)).astype(jnp.int32))
+        pos = jnp.concatenate([x.reshape(1, 1) for x in nxts], axis=0)
+        return pos, row
+
+    pos0 = jnp.concatenate(
+        [hdr_ref[B + j].reshape(1, 1) for j in range(B)], axis=0)
+    end, row = jax.lax.fori_loop(
+        0, nb, body, (pos0, jnp.zeros((B, 128), jnp.int32)))
+    if nb & 127:
+        out_ref[pl.ds(nb >> 7, 1), :, :] = row[None]
+    for j in range(B):
+        ok_ref[0, j] = (end[j, 0] == hdr_ref[j]).astype(jnp.int32)
+
+
+def chase_starts_multi(E, targets, s0s, nb: int, interpret=None):
+    """(P2,) end-table + (B,) target ends + (B,) start offsets ->
+    ((B, nb) starts, (B,) ok).  One kernel, nb serial steps for all B
+    chains (vs B*nb for per-band :func:`chase_starts` calls — measured
+    the bulk of the fused foreign decode's scan share at B=3)."""
+    if interpret is None:
+        interpret = _interpret()
+    B = targets.shape[0]
+    P2 = E.shape[0]
+    rows = -(-P2 // 128)
+    ep = jnp.concatenate([E.astype(jnp.int32),
+                          jnp.full(rows * 128 - P2, P2, jnp.int32)])
+    nbp = -(-max(nb, 1) // 128) * 128
+    hdr = jnp.concatenate([targets.astype(jnp.int32),
+                           s0s.astype(jnp.int32)])
+    kern = functools.partial(_chase_multi_kernel, nb=nb, rows=rows, B=B)
+    out, ok = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((rows, 128), memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((nbp // 128, B, 128),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, B), memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nbp // 128, B, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1, B), jnp.int32)],
+        interpret=interpret,
+    )(hdr, ep.reshape(rows, 128))
+    starts = out.transpose(1, 0, 2).reshape(B, nbp)[:, :nb]
+    return starts, ok[0] != 0
+
+
 CHASE_VMEM_CAP = 10 << 20   # largest E table the chase kernel holds resident
 
 
-def chase_starts(E, n_bytes, nb: int, interpret=None):
-    """(P2,) int32 end-table (ERR-padded) + true byte length -> ((nb,)
-    starts, ok bool).  Requires 4*P2 <= CHASE_VMEM_CAP (caller checks)."""
+def chase_starts(E, n_bytes, nb: int, s0=None, interpret=None):
+    """(P2,) int32 end-table (ERR-padded) + target end offset -> ((nb,)
+    starts, ok bool).  ``s0`` (traced scalar, default 0) is the chase's
+    start offset.  Requires 4*P2 <= CHASE_VMEM_CAP (caller checks)."""
     if interpret is None:
         interpret = _interpret()
     P2 = E.shape[0]
@@ -874,6 +991,10 @@ def chase_starts(E, n_bytes, nb: int, interpret=None):
     ep = jnp.concatenate([E.astype(jnp.int32),
                           jnp.full(rows * 128 - P2, P2, jnp.int32)])
     nbp = -(-max(nb, 1) // 128) * 128
+    if s0 is None:
+        s0 = jnp.int32(0)
+    hdr = jnp.stack([n_bytes.astype(jnp.int32),
+                     jnp.asarray(s0, jnp.int32)])
     kern = functools.partial(_chase_kernel, nb=nb, rows=rows)
     out, ok = pl.pallas_call(
         kern,
@@ -885,5 +1006,5 @@ def chase_starts(E, n_bytes, nb: int, interpret=None):
         out_shape=[jax.ShapeDtypeStruct((nbp // 128, 128), jnp.int32),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)],
         interpret=interpret,
-    )(n_bytes.astype(jnp.int32).reshape(1), ep.reshape(rows, 128))
+    )(hdr, ep.reshape(rows, 128))
     return out.reshape(-1)[:nb], ok[0, 0] != 0

@@ -214,3 +214,86 @@ def test_pallas_walker_rung_escalation(monkeypatch):
     assert ok
     assert np.array_equal(starts, NC.scan_offsets(data, 6, L))
     assert DS._rung_cache[L] > 0      # remembered the rung that succeeded
+
+
+def test_scan_bands_starts_multiband(monkeypatch):
+    """One walker table over a 3-band concatenated buffer + three orbit
+    chases (the fused foreign-decode's scan): starts match the per-band
+    host scans, and a truncated middle band fails the per-band ok."""
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    import jax
+    import jax.numpy as jnp
+    from jpeg_tpu.entropy import device_codec as DC
+    from jpeg_tpu.utils.device import quarter_cap
+    rng = np.random.default_rng(11)
+    L, nb = 64, 9
+    bands = [NC.encode_levels(_rand_levels(rng, nb, L, d))
+             for d in (0.1, 0.3, 0.0)]
+
+    def run(bands_bytes):
+        buf = b"".join(bands_bytes)
+        pad = quarter_cap(len(buf))
+        arr = np.zeros(pad, np.uint8)
+        arr[:len(buf)] = np.frombuffer(buf, np.uint8)
+        ends = np.cumsum([len(b) for b in bands_bytes]).astype(np.int32)
+        fn = jax.jit(lambda s, e: DS.scan_bands_starts(s, e, nb, L))
+        starts, ok = fn(jnp.asarray(DC.host_stream_arg(arr)),
+                        jnp.asarray(ends))
+        return np.asarray(starts), bool(ok)
+
+    starts, ok = run(bands)
+    assert ok
+    offs = np.cumsum([0, len(bands[0]), len(bands[1])])
+    want = np.concatenate([NC.scan_offsets(b, nb, L) + o
+                           for b, o in zip(bands, offs)])
+    assert np.array_equal(starts, want)
+
+    # Truncating the MIDDLE band shifts band 2's start: its orbit (and/or
+    # band 1's end check) must fail even though the bytes parse locally.
+    _, ok_bad = run([bands[0], bands[1][:-1], bands[2]])
+    assert not ok_bad
+
+
+def test_foreign_decode_one_dispatch(monkeypatch):
+    """api one-dispatch foreign decode (scan + parse + IDCT in one
+    program): planes identical to the host-scan path, including the rung
+    escalation for a long block and the host fallback on malformed data."""
+    monkeypatch.setenv("JPEG_TPU_DEVICE_DECODE", "1")
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    from jpeg_tpu import (Configuration, QuantizationMethod, compress_ycbcr,
+                          decompress_to_ycbcr)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 40, 3), np.uint8)
+    cfg = Configuration(width=40, height=24, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("none"))  # long blocks
+    blob = compress_ycbcr(img, cfg)
+    base = decompress_to_ycbcr(blob)
+    monkeypatch.setenv("JPEG_TPU_SCAN", "device")
+    DS._rung_cache.pop(64, None)
+    assert np.array_equal(decompress_to_ycbcr(blob), base)
+    # Malformed container body: same canonical error as the host path.
+    from jpeg_tpu.config import BadStreamError
+    bad = blob[:-3]
+    with pytest.raises(Exception):
+        decompress_to_ycbcr(bad)
+
+
+def test_scan_mode_policy(monkeypatch):
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("JPEG_TPU_SCAN", "device")
+    assert DS.scan_mode(10) == "device"
+    monkeypatch.setenv("JPEG_TPU_SCAN", "host")
+    assert DS.scan_mode(1 << 30) == "host"
+    monkeypatch.delenv("JPEG_TPU_SCAN")
+    monkeypatch.setenv("JPEG_TPU_DEVICE_SCAN", "1")   # legacy alias
+    assert DS.scan_mode(10) == "device"
+    monkeypatch.delenv("JPEG_TPU_DEVICE_SCAN")
+    # auto: host whenever the C++ scanner exists; device only without it
+    # and past the measured threshold
+    import jpeg_tpu.entropy as E
+    if E._get_native() is not None:
+        assert DS.scan_mode(1 << 30) == "host"
+    monkeypatch.setattr(E, "_native", None)
+    monkeypatch.setattr(E, "_native_checked", True)
+    assert DS.scan_mode(DS.PY_SCAN_DEVICE_MIN_BYTES) == "device"
+    assert DS.scan_mode(100) == "host"

@@ -146,6 +146,19 @@ def test_dft_pallas_matches_xla_on_chip(img):
     _check_tie_contract(cfg, img[:, :, 0].astype(np.int32))
 
 
+def test_foreign_decode_one_dispatch_on_chip(img, monkeypatch):
+    # Host-free scan+parse+IDCT in one program (api._decode3_foreign_fn)
+    # must reproduce the default host-scan path bit-for-bit on chip.
+    from jpeg_tpu import compress_ycbcr, decompress_to_ycbcr
+    cfg = _cfg()
+    blob = compress_ycbcr(img, cfg)
+    base = decompress_to_ycbcr(blob)
+    monkeypatch.setenv("JPEG_TPU_SCAN", "device")
+    from jpeg_tpu.entropy import device_scan as DS
+    DS._rung_cache.pop(cfg.dct_size ** 2, None)
+    np.testing.assert_array_equal(decompress_to_ycbcr(blob), base)
+
+
 def test_device_decode_without_native_codec(img, monkeypatch):
     """Device bit parsing stays available with no C++ codec: the pure-Python
     scanner backs entropy.scan_offsets (VERDICT r1 item 5)."""
