@@ -301,6 +301,47 @@ def main() -> None:
 
     record("fused_dec", marginal(fused_dec, st_d), stream_b + starts_b + plane_b)
 
+    # ONE-dispatch host-free decode of a FOREIGN stream: in-program
+    # boundary scan (walker table + multi-chain orbit chase) feeding the
+    # bit parse + IDCT — no host scan, no starts upload
+    # (api._decode3_foreign_fn; policy: entropy/device_scan.py:scan_mode).
+    from jpeg_tpu.entropy import device_scan as DS
+    streams3 = []
+    off = 0
+    st_np = np.asarray(starts)
+    for b in range(3):
+        lo, hi = b * nb, (b + 1) * nb
+        end = st_np[hi] if hi < len(st_np) else len(stream)
+        streams3.append(int(end) - off)
+        off = int(end)
+    ends_d = jax.device_put(np.cumsum(streams3).astype(np.int32))
+    max_bb = DC.max_block_bytes_of(st_np, len(stream))
+    rung = next((r for r in DS.span_rungs(L) if r and max_bb <= r), 0)
+    mb_rung = DC.bucket_block_bytes(L, rung) if rung else 0
+    # Quarter-octave padding, as the api's foreign path: every padded
+    # byte is a walker, and the tighter cap also keeps the chase E table
+    # inside the VMEM kernel's budget where pow2 padding would spill to
+    # the pointer-doubling fallback (~10x at 4K).
+    from jpeg_tpu.utils.device import quarter_cap
+    qpad = quarter_cap(len(stream))
+    qarr = np.zeros(qpad, np.uint8)
+    qarr[:len(stream)] = np.frombuffer(stream, np.uint8)
+    qarr_d = jax.device_put(DC.host_stream_arg(qarr))
+
+    def foreign_dec(x):
+        st2, ok = DS.scan_bands_starts(qarr_d, ends_d, nb, L, span_cap=rung)
+        lv = DC.decode_stream(qarr_d, st2, L, mb_rung, sort=False,
+                              total_len=ends_d[-1])
+        p = jax.vmap(dec)(lv.reshape(3, nb, L))
+        return x + dep(p) + jnp.where(ok, 0, 1)
+
+    st2_chk, ok_chk = jax.jit(lambda: DS.scan_bands_starts(
+        qarr_d, ends_d, nb, L, span_cap=rung))()
+    assert bool(ok_chk), "foreign scan rejected a valid stream"
+    assert np.array_equal(np.asarray(st2_chk), st_np), "foreign starts differ"
+    record("foreign_dec", marginal(foreign_dec, jax.device_put(np.int32(0))),
+           stream_b + plane_b)
+
     # Device-resident round trip: planes -> coefficients -> bitstream ->
     # coefficients -> planes in ONE program, stream never leaving HBM —
     # the on-device analog of the full compress_band/decompress_band pair
@@ -331,6 +372,59 @@ def main() -> None:
         "device round trip mismatch"
     record("roundtrip", marginal(roundtrip, pl_d),
            2 * plane_b + 2 * stream_b + 2 * bb_b + levels_b)
+
+    # Batch-level device-resident round trip (BASELINE config 5's shape at
+    # slice scale): B images -> levels -> ONE content-sized stream ->
+    # levels -> planes, nothing leaving HBM.  Blocks of the whole batch
+    # feed the entropy kernels as one (B*3*nb, L) batch — the batch is
+    # just a bigger block count, so the kernels amortize their fixed
+    # costs; skipped when the worst-case bit positions would leave int32.
+    B = int(os.environ.get("BATCH_B", "4"))
+    if B <= 0:
+        print("skipping roundtrip_batch (BATCH_B=0)", file=sys.stderr)
+    elif B * levels.shape[0] * DC.worst_case_block_bytes(L) * 8 < DC._CAP_BITS:
+        pls = np.stack([planes] * B)                   # (B, 3, H, W)
+        pls_d = jax.device_put(pls)
+        capB = DC.encode_cap_bucket(
+            B * int(bb_np.sum()),
+            B * levels.shape[0] * DC.worst_case_block_bytes(L))
+
+        def rtb_core(p):
+            lv = enc(p.reshape(B * 3, h, w)).reshape(-1, L)
+            words, bb, bad = DC.encode_stream_sized(lv, W, capB, G,
+                                                    emit="words")
+            st = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(bb)[:-1].astype(jnp.int32)])
+            lv2 = DC.decode_stream(words, st, L, bucket_bb, sort=srt,
+                                   total_len=bb.sum().astype(jnp.int32))
+            return (jax.vmap(dec)(lv2.reshape(B * 3, nb, L)), bad)
+
+        def roundtrip_batch(p):
+            p2, bad = rtb_core(p)
+            return p + (dep(p2) + bad.astype(jnp.int32)).astype(dtp)
+
+        got_rtb, bad_rtb = jax.jit(rtb_core)(pls_d)
+        assert not bool(bad_rtb), "batch round trip overflowed"
+        assert np.array_equal(
+            np.asarray(got_rtb).reshape(B, 3, h, w)[0], planes_ref), \
+            "batch round trip mismatch"
+        secs = marginal(roundtrip_batch, pls_d)
+        row_bytes = B * (2 * plane_b + 2 * stream_b + 2 * bb_b + levels_b)
+        row = {"ms": round(secs * 1e3, 3),
+               "mps": round(B * mp / secs, 1) if secs > 0 else None,
+               "batch": B}
+        if secs > 0:
+            gbps = row_bytes / secs / 1e9
+            row["bytes_min"] = int(row_bytes)
+            row["gbps_eff"] = round(gbps, 1)
+            row["hbm_pct"] = round(100 * gbps / hbm_gbps, 1)
+        results["roundtrip_batch"] = row
+        print(f"roundtrip_batch   {secs * 1e3:8.2f} ms "
+              f"{(B * mp / secs if secs > 0 else 0):9.1f} MP/s (B={B})",
+              file=sys.stderr)
+    else:
+        print(f"skipping roundtrip_batch (B={B} exceeds int32 bit "
+              "positions at this geometry)", file=sys.stderr)
 
     if out_json:
         with open(out_json, "w") as f:

@@ -390,7 +390,8 @@ def _top_justify(words, total, W: int):
     return (words << wr) | ((wnext >> (jnp.uint32(31) - wr)) >> 1)
 
 
-def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int):
+def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int,
+                             nat: bool = True):
     """Bitstream encode straight from LEVELS — the unit-group tables
     (entropy/device_codec.py:_unit_groups) are computed in-register per
     slot instead of being materialized in HBM (3 tables x (N, L+1) int32,
@@ -408,8 +409,13 @@ def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int):
     (1, T) register carried across the static slot loop.  Emits the
     per-block byte count as a second output (bit-identical to
     _unit_groups' blk_bytes).
+
+    ``nat=False`` keeps the old (L, T)-in / (W, T)-out convention with
+    XLA-side transposes: at L = 576 (d = 24) the in-VMEM transpose of a
+    (tile, L) block makes Mosaic spill ~250 MB of registers, while the
+    XLA relayout is near-bandwidth — large L stays transposed.
     """
-    lvT = jnp.transpose(lv_ref[:], (1, 0))        # (L, T) in VMEM
+    lvT = (jnp.transpose(lv_ref[:], (1, 0)) if nat else lv_ref[:])
     T = lvT.shape[1]
     z = jnp.zeros((1, T), jnp.uint32)
     words = jnp.zeros((W, T), jnp.uint32)
@@ -479,18 +485,29 @@ def _encode_stream_lv_kernel(lv_ref, out_ref, bb_ref, *, L: int, W: int):
     total = total + c_eob
     words = _append_group(words, c_eob, z, z, W)
     rows = _top_justify(words, total, W).astype(jnp.int32)
-    out_ref[:] = jnp.transpose(rows, (1, 0))      # (T, W) natural
-    bb_ref[:] = jnp.transpose(total >> 3, (1, 0))
+    if nat:
+        out_ref[:] = jnp.transpose(rows, (1, 0))  # (T, W) natural
+        bb_ref[:] = jnp.transpose(total >> 3, (1, 0))
+    else:
+        out_ref[:] = rows
+        bb_ref[:] = total >> 3
+
+
+# Widest levels row the natural-layout encode kernel transposes in VMEM;
+# past this (d = 24's L = 576) Mosaic spills registers on the transpose
+# and the XLA-side relayout is the cheaper form.
+ENC_NAT_MAX_L = 128
 
 
 def encode_stream_rows_lv(levels, W: int, interpret=None):
     """(N, L) int32 levels -> ((N, W) int32 stream-word rows, (N,) int32
     block bytes), unit groups computed inside the kernel.  Natural in/out
-    layout — no XLA-side transposes (see :func:`_encode_stream_lv_kernel`);
-    the rows feed ``compact_rows``'s contiguous unit reshape directly."""
+    layout for L <= ENC_NAT_MAX_L (transposes in VMEM, no XLA relayouts);
+    wider L keeps the transposed convention (see the kernel docstring)."""
     if interpret is None:
         interpret = _interpret()
     n, L = levels.shape
+    nat = L <= ENC_NAT_MAX_L
     # VMEM gate, as decode_stream_rows: the natural block + its transpose
     # + the (W, T) words buffer (plus ~2 append-ladder copies) + the
     # (T, W) out copy live together; halve the tile until ~12 MiB fits.
@@ -503,21 +520,36 @@ def encode_stream_rows_lv(levels, W: int, interpret=None):
     if npad != n:
         levels = jnp.concatenate(
             [levels, jnp.zeros((npad - n, L), jnp.int32)], axis=0)
-    kern = functools.partial(_encode_stream_lv_kernel, L=L, W=W)
+    kern = functools.partial(_encode_stream_lv_kernel, L=L, W=W, nat=nat)
+    if nat:
+        rows, bb = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((tile, L), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((tile, W), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((npad, W), jnp.int32),
+                       jax.ShapeDtypeStruct((npad, 1), jnp.int32)],
+            interpret=interpret,
+        )(levels)
+        return rows[:n], bb[:n, 0]
     rows, bb = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((tile, L), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((L, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((tile, W), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((W, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                   pl.BlockSpec((1, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((npad, W), jnp.int32),
-                   jax.ShapeDtypeStruct((npad, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((W, npad), jnp.int32),
+                   jax.ShapeDtypeStruct((1, npad), jnp.int32)],
         interpret=interpret,
-    )(levels)
-    return rows[:n], bb[:n, 0]
+    )(levels.T)
+    return rows.T[:n], bb[0, :n]
 
 
 def encode_stream_rows(cbits, vhi, vlo, W: int, interpret=None):
@@ -977,7 +1009,12 @@ def chase_starts_multi(E, targets, s0s, nb: int, interpret=None):
     return starts, ok[0] != 0
 
 
-CHASE_VMEM_CAP = 10 << 20   # largest E table the chase kernel holds resident
+# Largest E table the chase kernel holds resident.  The kernel's only
+# other VMEM is the packed starts block (nb ints) and registers, so the
+# table can take most of the ~16 MiB chip budget; 13 MiB covers a 4K
+# qtable image's ~3 MB quarter-capped stream (4 B/byte position), whose
+# pointer-doubling fallback measured ~380 ms of P*log2(nb) gathers.
+CHASE_VMEM_CAP = 13 << 20
 
 
 def chase_starts(E, n_bytes, nb: int, s0=None, interpret=None):
