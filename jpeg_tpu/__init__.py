@@ -22,7 +22,7 @@ from .container import (CompressedData, create_header, generate_data,
                         get_header, read_data)
 from .api import (Jpeg, compress_band, compress_many, compress_ycbcr,
                   decompress_band, decompress_many,
-                  decompress_to_ycbcr, psnr)
+                  decompress_to_device, decompress_to_ycbcr, psnr)
 from . import steps  # invertible step-pipeline view (steps.step_classes)
 
 __version__ = "0.1.0"
@@ -33,6 +33,6 @@ __all__ = [
     "Jpeg", "QuantizationMethod", "compress_band", "compress_many",
     "compress_ycbcr",
     "create_header", "decompress_band", "decompress_many",
-    "decompress_to_ycbcr",
+    "decompress_to_device", "decompress_to_ycbcr",
     "generate_data", "get_header", "padded_size", "psnr", "read_data",
 ]

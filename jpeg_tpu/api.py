@@ -493,6 +493,21 @@ def _start_decompress(bytestream: bytes, dtype):
     return fn(np.stack(levels).astype(np.int16))
 
 
+def decompress_to_device(bytestream: bytes, dtype=None):
+    """Container bytes -> (3, H, W) uint8 planes as a DEVICE array,
+    NOT pulled to the host.
+
+    The device-resident consumer form: on slow host links the plane pull
+    dominates host->host decode (benchmarks/probes/probe_pipeline.py —
+    a 12 MB pull at the dev tunnel's 15-30 MB/s costs 0.4-0.8 s while
+    device decode is ~2 ms), so pipelines whose next stage runs on the
+    accelerator anyway (augmentation, ML preprocessing, filters) should
+    chain from this array instead of round-tripping through numpy.
+    ``np.asarray(result)`` recovers :func:`decompress_to_ycbcr`'s planes
+    (transpose to (H, W, 3) for the image convention)."""
+    return _start_decompress(bytestream, dtype)
+
+
 def decompress_many(blobs, dtype=None, depth: int = 2) -> list:
     """Pipelined decode of an iterable of container blobs: image i's plane
     pull overlaps image i+1's host scan + device decode.  Results are

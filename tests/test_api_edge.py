@@ -176,3 +176,22 @@ def test_decompress_many_mixed_configs():
     recon = api.decompress_many(blobs, depth=2)
     for r, blob in zip(recon, blobs):
         np.testing.assert_array_equal(r, api.decompress_to_ycbcr(blob))
+
+
+def test_decompress_to_device_matches_host_pull():
+    """decompress_to_device returns the un-pulled device planes; pulling
+    them equals decompress_to_ycbcr (the device-resident consumer form —
+    downstream device stages chain without the host round trip)."""
+    import numpy as np
+    import jpeg_tpu
+    from jpeg_tpu import (Configuration, QuantizationMethod, compress_ycbcr,
+                          decompress_to_device, decompress_to_ycbcr)
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (24, 40, 3), np.uint8)
+    cfg = Configuration(width=40, height=24, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    blob = compress_ycbcr(img, cfg)
+    dev = decompress_to_device(blob)
+    assert hasattr(dev, "devices")           # a jax Array, not numpy
+    got = np.asarray(dev).transpose(1, 2, 0)
+    np.testing.assert_array_equal(got, decompress_to_ycbcr(blob))
