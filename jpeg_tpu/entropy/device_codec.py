@@ -264,12 +264,13 @@ def encode_rows(levels, interpret=None, W: int = 0):
 # Measured on chip (benchmarks/probe_sized.py, 4.2 MP): the XLA merge rounds
 # fuse to near-zero marginal cost while the gather costs ~ per index, so
 # deeper merges + bigger groups win: (9, 128) beats (6, 16) by ~25% both at
-# worst-case and content-sized shapes.  Round-5 re-sweep
-# (probes/probe_sized2.py on the merge-KERNEL path): depth 11 beats 9 by
-# another ~10% at 4.2 MP (0.94 -> 0.85 ms full sized encode) — fewer,
-# larger units amortize the per-grid-step fixed cost; effective_depth
-# still scales small batches down.
-MERGE_DEPTH = 11
+# worst-case and content-sized shapes.  A round-5 re-sweep read depth 11
+# ~10% faster at 4.2 MP (probes/probe_sized2.py), but 11 overflows the
+# merge kernel's scoped-VMEM stacking budget at 4K unit heights (33.7 vs
+# 16 MiB — merge_rows_units' per-unit estimate is calibrated at depth 9)
+# and a same-process A/B could not reproduce the win outside tunnel
+# noise, so 9 stays.
+MERGE_DEPTH = 9
 GATHER_G = 128
 GATHER_G_MAX = 1024  # ceiling for the content-adaptive group bucket
 
