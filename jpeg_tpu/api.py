@@ -229,9 +229,13 @@ def _decode3_foreign_fn(key, dtype_name: str, use_pallas: bool,
     return jax.jit(f)
 
 
-def _foreign_decode(config: Configuration, streams, dt, pal):
-    """Run the fused scan+decode over the rung ladder; None if every rung
-    rejects (caller falls back to the host scan for its canonical error)."""
+def _foreign_decode_lazy(config: Configuration, streams, dt, pal):
+    """Dispatch the first-rung fused scan+decode WITHOUT syncing; return a
+    zero-arg resolver that validates the in-program ok flag at pull time,
+    escalating the rung ladder on rejection and falling back to the
+    host-scan path (whose scanner raises the canonical error on malformed
+    streams).  Deferring the ok sync keeps the main thread free to
+    dispatch the next image — decompress_many's documented overlap."""
     from .entropy import device_codec as DC
     from .entropy import device_scan as DS
     from .utils.device import quarter_cap
@@ -242,17 +246,34 @@ def _foreign_decode(config: Configuration, streams, dt, pal):
     arr = np.zeros(pad, np.uint8)
     arr[:len(buf)] = np.frombuffer(buf, np.uint8)
     arr_dev = jax.device_put(DC.host_stream_arg(arr))
-    ends = np.cumsum([len(s) for s in streams]).astype(np.int32)
+    ends = jnp.asarray(np.cumsum([len(s) for s in streams]).astype(np.int32))
     rungs = DS.span_rungs(L)
+    if not DC._pallas_decode_enabled():
+        # The XLA-fallback walker gains nothing from a trimmed window (no
+        # row funnel), so every rung would compile an identical program
+        # and a malformed stream would run the full scan per rung: go
+        # straight to the exact worst-span program.
+        rungs = [0]
     first = min(DS._rung_cache.get(L, 0), len(rungs) - 1)
     key = _band.config_key(config)
-    for i in range(first, len(rungs)):
-        fn = _decode3_foreign_fn(key, dt.name, pal, pad, rungs[i])
-        planes, ok = fn(arr_dev, jnp.asarray(ends))
-        if bool(ok):
-            DS._rung_cache[L] = i
-            return planes
-    return None
+    fn = _decode3_foreign_fn(key, dt.name, pal, pad, rungs[first])
+    planes, ok = fn(arr_dev, ends)                   # async dispatch
+
+    def resolve():
+        nonlocal planes, ok
+        i = first
+        while not bool(ok):                          # syncs THIS dispatch
+            i += 1
+            if i >= len(rungs):
+                # Every rung rejected: the host scanner either raises the
+                # canonical error or (never observed) recovers the starts.
+                return _host_scan_decompress(config, streams, dt, pal)
+            planes, ok = _decode3_foreign_fn(
+                key, dt.name, pal, pad, rungs[i])(arr_dev, ends)
+        DS._rung_cache[L] = i
+        return planes
+
+    return resolve
 
 
 def _dt_and_pallas(config: Configuration, dtype):
@@ -432,12 +453,17 @@ def decompress_to_ycbcr(bytestream: bytes, dtype=None) -> np.ndarray:
     shrinks from the coefficient levels to the compressed bytes.
     JPEG_TPU_DEVICE_DECODE=0 falls back to host entropy decode.
     """
-    return np.asarray(_start_decompress(bytestream, dtype)).transpose(1, 2, 0)
+    return np.asarray(_resolve_planes(
+        _start_decompress(bytestream, dtype))).transpose(1, 2, 0)
 
 
 def _start_decompress(bytestream: bytes, dtype):
     """Dispatch the device half of a decode without blocking (container
-    parse + boundary scan stay host-side; bit parse + IDCT dispatch async)."""
+    parse + boundary scan stay host-side; bit parse + IDCT dispatch async).
+
+    May return a zero-arg CALLABLE instead of a device array (the foreign
+    host-free path defers its ok-check so the dispatch never syncs here);
+    callers resolve it at pull time (:func:`_resolve_planes`)."""
     config, data = container.read_data(bytestream)
     dt, pal = _dt_and_pallas(config, dtype)
     from .utils.device import device_entropy_default, pow2_cap
@@ -452,38 +478,14 @@ def _start_decompress(bytestream: bytes, dtype):
         from .entropy.device_scan import scan_mode
         if scan_mode(total) == "device" and nb > 0:
             # Policy-selected host-free path: scan + parse + IDCT in ONE
-            # dispatch (_decode3_foreign_fn).  A rung-ladder rejection
-            # falls through to the host-scan path below, whose scanner
-            # raises the canonical error for malformed streams.
-            planes = _foreign_decode(config, streams, dt, pal)
-            if planes is not None:
-                return planes
-        buf = b"".join(streams)
-        pad = pow2_cap(len(buf))
-        arr = np.zeros(pad, np.uint8)
-        arr[:len(buf)] = np.frombuffer(buf, np.uint8)
-        # Kick the stream upload off FIRST (device_put is async), then run
-        # the serial O(bytes) boundary scans while the bytes are in flight —
-        # one band per thread (the C++ scanner releases the GIL), so the
-        # host-side prelude and the h2d transfer overlap instead of stacking.
-        # On the Pallas path the upload is little-endian WORDS (a free view
-        # here) so the device never pays the u8 -> u32 bitcast relayout.
-        arr_dev = jax.device_put(DC.host_stream_arg(arr))
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            scans = list(pool.map(
-                lambda s: entropy.scan_offsets(s, nb, L), streams))
-        starts, off, max_bb = [], 0, 0
-        for s, sc in zip(streams, scans):
-            starts.append(sc + off)
-            off += len(s)
-            max_bb = max(max_bb, DC.max_block_bytes_of(sc, len(s)))
-        all_starts = np.concatenate(starts)
-        # Bucketed longest-block width sizes the decode word-row gather;
-        # serial decompress_to_ycbcr shares this code (and executable).
-        fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad,
-                                DC.bucket_block_bytes(L, max_bb),
-                                DC.sort_pays_off(all_starts, len(buf)))
-        return fn(arr_dev, all_starts, np.int32(len(buf)))
+            # dispatch (_decode3_foreign_fn), returned as a deferred
+            # resolver so the in-program ok flag is only synced at pull
+            # time — the main thread stays free to dispatch the next
+            # image (decompress_many's overlap).  A rung-ladder rejection
+            # resolves through the host-scan path, whose scanner raises
+            # the canonical error for malformed streams.
+            return _foreign_decode_lazy(config, streams, dt, pal)
+        return _host_scan_decompress(config, streams, dt, pal)
     nb, L = config.num_blocks, config.dct_size ** 2
     with ThreadPoolExecutor(max_workers=3) as pool:
         levels = list(pool.map(
@@ -491,6 +493,47 @@ def _start_decompress(bytestream: bytes, dtype):
             (data.y, data.cb, data.cr)))
     fn = _decode3_fn(_band.config_key(config), dt.name, pal)
     return fn(np.stack(levels).astype(np.int16))
+
+
+def _resolve_planes(res):
+    """Resolve a :func:`_start_decompress` result: deferred foreign-path
+    resolvers are called (syncing their ok flag, escalating rungs or
+    falling back to the host scan); device arrays pass through."""
+    return res() if callable(res) else res
+
+
+def _host_scan_decompress(config: Configuration, streams, dt, pal):
+    """Default device-entropy decode: host boundary scan + device bit
+    parse/IDCT (one dispatch); returns the un-pulled device planes."""
+    from .entropy import device_codec as DC
+    from .utils.device import pow2_cap
+    nb, L = config.num_blocks, config.dct_size ** 2
+    buf = b"".join(streams)
+    pad = pow2_cap(len(buf))
+    arr = np.zeros(pad, np.uint8)
+    arr[:len(buf)] = np.frombuffer(buf, np.uint8)
+    # Kick the stream upload off FIRST (device_put is async), then run
+    # the serial O(bytes) boundary scans while the bytes are in flight —
+    # one band per thread (the C++ scanner releases the GIL), so the
+    # host-side prelude and the h2d transfer overlap instead of stacking.
+    # On the Pallas path the upload is little-endian WORDS (a free view
+    # here) so the device never pays the u8 -> u32 bitcast relayout.
+    arr_dev = jax.device_put(DC.host_stream_arg(arr))
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        scans = list(pool.map(
+            lambda s: entropy.scan_offsets(s, nb, L), streams))
+    starts, off, max_bb = [], 0, 0
+    for s, sc in zip(streams, scans):
+        starts.append(sc + off)
+        off += len(s)
+        max_bb = max(max_bb, DC.max_block_bytes_of(sc, len(s)))
+    all_starts = np.concatenate(starts)
+    # Bucketed longest-block width sizes the decode word-row gather;
+    # serial decompress_to_ycbcr shares this code (and executable).
+    fn = _decode3_stream_fn(_band.config_key(config), dt.name, pal, pad,
+                            DC.bucket_block_bytes(L, max_bb),
+                            DC.sort_pays_off(all_starts, len(buf)))
+    return fn(arr_dev, all_starts, np.int32(len(buf)))
 
 
 def decompress_to_device(bytestream: bytes, dtype=None):
@@ -505,7 +548,7 @@ def decompress_to_device(bytestream: bytes, dtype=None):
     chain from this array instead of round-tripping through numpy.
     ``np.asarray(result)`` recovers :func:`decompress_to_ycbcr`'s planes
     (transpose to (H, W, 3) for the image convention)."""
-    return _start_decompress(bytestream, dtype)
+    return _resolve_planes(_start_decompress(bytestream, dtype))
 
 
 def decompress_many(blobs, dtype=None, depth: int = 2) -> list:
@@ -519,7 +562,7 @@ def decompress_many(blobs, dtype=None, depth: int = 2) -> list:
     out = []
 
     def pull(planes):
-        return np.asarray(planes).transpose(1, 2, 0)
+        return np.asarray(_resolve_planes(planes)).transpose(1, 2, 0)
 
     # Plane pulls block on a 3*H*W d2h transfer; a single worker keeps them
     # ordered while the main thread runs the next blob's host boundary scan

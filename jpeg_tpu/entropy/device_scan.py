@@ -134,7 +134,7 @@ def _walker_table_pallas(stream, P: int, nbits, L: int, span_cap: int = 0):
         # are allowed to consume at what the row provably covers.
         rem = jnp.minimum(rem, jnp.int32(8 * span))
     ERR = jnp.int32(P + 1)
-    blen, _c, _wx = PK.scan_walk_rows(rows, phase, rem, L, weff=we)
+    blen = PK.scan_walk_rows(rows, phase, rem, L, weff=we)
     return jnp.where(blen >= 0, q + blen, ERR)
 
 
@@ -154,7 +154,7 @@ def _end_table(stream, n_bytes, L: int, span_cap: int = 0):
         return jnp.concatenate([
             _walker_table_pallas(stream, P, nbits, L, span_cap),
             jnp.full(2, ERR, jnp.int32)]), ERR
-    return _end_table_xla(stream, P, nbits, L), ERR
+    return _end_table_xla(stream, P, nbits, L, span_cap), ERR
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "L", "span_cap"))
@@ -190,25 +190,47 @@ def scan_bands_starts(stream, ends, num_blocks: int, L: int,
     from .device_codec import _pallas_decode_enabled
     E, ERR = _end_table(stream, ends[-1], L, span_cap)
     B = ends.shape[0]
+    nbp = -(-max(num_blocks, 1) // 128) * 128
+    # VMEM budget charges the E table AND the kernel's (nbp/128, B, 128)
+    # packed-starts block — at B=3 the out block is 3x the single-chase
+    # kernel's, and an E that barely fit alone would oversubscribe.
     if (_pallas_decode_enabled() and num_blocks > 0
-            and 4 * E.shape[0] <= PK.CHASE_VMEM_CAP):
+            and 4 * E.shape[0] + 4 * B * nbp <= PK.CHASE_VMEM_CAP):
         # All B orbits advance in ONE serial kernel loop (sublane-parallel
         # chains): nb steps instead of B*nb across separate chase calls.
         s0s = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                ends[:-1].astype(jnp.int32)])
         starts, oks = PK.chase_starts_multi(E, ends, s0s, num_blocks)
         return starts.reshape(-1), jnp.all(oks)
-    starts, ok = [], None
-    for b in range(B):
-        s0 = jnp.int32(0) if b == 0 else ends[b - 1].astype(jnp.int32)
-        st, o = _orbit_starts(E, ends[b], num_blocks, ERR, s0=s0)
-        starts.append(st)
-        ok = o if ok is None else (ok & o)
-    return jnp.concatenate(starts), ok
+    # Pointer-doubling fallback, squaring HOISTED across bands: the
+    # T <- T[T] ladder (the dominant P*log2(nb) gather cost out here) is
+    # independent of the start offset, so all B orbits share one ladder.
+    rounds = max(1, int(np.ceil(np.log2(num_blocks + 1))))
+    nb_pad = 1 << rounds
+    s0s = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           ends[:-1].astype(jnp.int32)])
+    orbit = jnp.zeros((B, nb_pad), jnp.int32).at[:, 0].set(s0s)
+    T = E
+    filled = 1
+    for _ in range(rounds):
+        nxt = T[orbit[:, :filled]]            # (B, filled)
+        orbit = jax.lax.dynamic_update_slice(orbit, nxt, (0, filled))
+        if 2 * filled < nb_pad:               # last squaring is unused
+            T = T[T]
+        filled *= 2
+    starts = orbit[:, :num_blocks]
+    endb = E[jnp.minimum(starts[:, num_blocks - 1], ERR)]
+    ok = jnp.all(endb == ends.astype(jnp.int32))
+    return starts.reshape(-1), ok
 
 
-def _end_table_xla(stream, P: int, nbits, L: int):
-    """Portable phase-1 fallback: static-shaped gather+elementwise walk."""
+def _end_table_xla(stream, P: int, nbits, L: int, span_cap: int = 0):
+    """Portable phase-1 fallback: static-shaped gather+elementwise walk.
+
+    ``span_cap`` enforces the same per-walker byte-window certificate as
+    the Mosaic path (callers size decode geometry from an ok at a rung,
+    so the rung MUST bound block length on every branch): walkers that
+    would consume more than ``span_cap`` bytes absorb to ERR."""
     is_words = stream.dtype != jnp.uint8
     ERR = jnp.int32(P + 1)
     if is_words:
@@ -224,7 +246,7 @@ def _end_table_xla(stream, P: int, nbits, L: int):
     def step(st):
         it, pos, widx, done, err = st
         live = ~(done | err)
-        trunc_hdr = pos + 8 > nbits
+        trunc_hdr = pos + 8 > limit
         h = (w16[jnp.minimum(pos >> 3, P - 1)]
              >> (8 - (pos & 7))) & 0xFF
         run = h >> 4
@@ -233,7 +255,7 @@ def _end_table_xla(stream, P: int, nbits, L: int):
         is_chain = h == 0xF0
         is_code = size != 0
         bad_code = ~is_code & ~is_eob & ~is_chain
-        trunc_code = is_code & (pos + 8 + size > nbits)
+        trunc_code = is_code & (pos + 8 + size > limit)
         overflow = is_code & (widx + run >= L)
         new_err = live & (trunc_hdr | bad_code | trunc_code | overflow)
 
@@ -256,6 +278,11 @@ def _end_table_xla(stream, P: int, nbits, L: int):
         return (it < _max_units(L)) & ~jnp.all(done | err)
 
     pos0 = jnp.arange(P, dtype=jnp.int32) * 8
+    # Per-walker bit budget: the stream end, and (when the rung trims the
+    # window) span_cap bytes from the walker's own start — the same
+    # semantics as the Mosaic walker's rem clamp.
+    limit = (jnp.minimum(nbits, pos0 + 8 * span_cap) if span_cap > 0
+             else nbits)
     z = jnp.zeros(P, jnp.int32)
     _, pos, _, done, err = jax.lax.while_loop(
         not_settled, step, (jnp.int32(0), pos0, z, z != 0, z != 0))
@@ -278,8 +305,9 @@ def _orbit_starts(E, n_bytes, num_blocks: int, ERR, s0=None):
     portable/large-stream fallback."""
     from ..ops import pallas_kernels as PK
     from .device_codec import _pallas_decode_enabled
+    nbp = -(-max(num_blocks, 1) // 128) * 128
     if (_pallas_decode_enabled() and num_blocks > 0
-            and 4 * E.shape[0] <= PK.CHASE_VMEM_CAP):
+            and 4 * E.shape[0] + 4 * nbp <= PK.CHASE_VMEM_CAP):
         return PK.chase_starts(E, n_bytes, num_blocks, s0=s0)
     rounds = max(1, int(np.ceil(np.log2(num_blocks + 1))))
     nb_pad = 1 << rounds
@@ -378,9 +406,10 @@ def scan_offsets_device(data: bytes, num_blocks: int, L: int):
     arr = np.zeros(pad, np.uint8)
     arr[:n] = np.frombuffer(data, np.uint8)
     stream = jnp.asarray(host_stream_arg(arr))
-    rungs = [s for s in _SPAN_RUNGS if s < _worst_span(L)] + [0]
+    rungs = span_rungs(L)
     if not _pallas_decode_enabled():
-        rungs = [0]                      # XLA fallback has no window trim
+        rungs = [0]          # the XLA walk gains nothing from a trimmed
+        #                      window (no row funnel), so skip the ladder
     first = min(_rung_cache.get(L, 0), len(rungs) - 1)
     for i in range(first, len(rungs)):
         starts, ok = scan_table_and_starts(

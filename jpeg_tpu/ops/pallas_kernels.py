@@ -780,7 +780,8 @@ def _scan_walk_kernel(words_ref, phase_ref, rem_ref, c0_ref, w0_ref,
     for a 340 KB band; the funnel formulation streams each walker's bytes
     through static positions instead.
     """
-    max_steps = min(CAP, L + L // MAX_RUN + 2)
+    max_steps = min(CAP, L + L // MAX_RUN + 2) if CAP else \
+        L + L // MAX_RUN + 2
     T = words_ref.shape[1]
     zrow = jnp.zeros((1, T), jnp.uint32)
 
@@ -853,24 +854,46 @@ def _scan_walk_kernel(words_ref, phase_ref, rem_ref, c0_ref, w0_ref,
     wx_ref[:] = widx
 
 
+def _scan_walk_kernel_single(words_ref, phase_ref, rem_ref, out_ref, *,
+                             L: int, W: int, G: int, WE: int):
+    """Single-sweep wrapper: no resume inputs, no carried-state outputs —
+    the production scan path pays nothing for the (unused-on-TPU)
+    two-sweep machinery (~16 HBM bytes per stream byte otherwise)."""
+    T = words_ref.shape[1]
+    z = jnp.zeros((1, T), jnp.int32)
+
+    class _Zeros:                        # zero-state stand-in for a ref read
+        def __getitem__(self, _):
+            return z
+
+    class _Sink:                         # discards the carried-state writes
+        def __setitem__(self, _k, _v):
+            pass
+
+    _scan_walk_kernel(words_ref, phase_ref, rem_ref, _Zeros(), _Zeros(),
+                      out_ref, _Sink(), _Sink(), L=L, W=W, G=G, WE=WE,
+                      CAP=0)
+
+
 def scan_walk_rows(word_rows, phase, rem, L: int, weff: int = 0,
                    cap: int = 0, c0=None, w0=None, interpret=None):
     """(P, W = 2G) overlap-table rows + (P, 1) bit phases + (P, 1) remaining
-    stream bits -> ((P,) int32 block byte lengths, (P,) consumed bits,
-    (P,) coefficient indices).  Lengths: >= 0 settled, -1 error/garbage,
-    -2 still live at the ``cap`` (resume via ``c0``/``w0``; 0 = the full
-    unit budget, single sweep)."""
+    stream bits -> (P,) int32 block byte lengths (>= 0 settled, -1
+    error/garbage).
+
+    Two-sweep form (``cap`` > 0 or ``c0``/``w0`` given — kept tested for
+    backends with cheap compaction, unprofitable on TPU per
+    entropy/device_scan.py's round-5 note): returns the triple
+    ``(lengths, consumed bits, coefficient indices)`` with -2 marking
+    columns still live at the cap; resume them via ``c0``/``w0``."""
     if interpret is None:
         interpret = _interpret()
+    resume = cap > 0 or c0 is not None or w0 is not None
     n, W = word_rows.shape
     if weff <= 0 or weff > W:
         weff = W
     if cap <= 0:
         cap = L + L // MAX_RUN + 2
-    if c0 is None:
-        c0 = jnp.zeros((n, 1), jnp.int32)
-    if w0 is None:
-        w0 = jnp.zeros((n, 1), jnp.int32)
     grid = pl.cdiv(n, DEC_TILE)
     npad = grid * DEC_TILE
     if npad != n:
@@ -879,18 +902,36 @@ def scan_walk_rows(word_rows, phase, rem, L: int, weff: int = 0,
         pad1 = jnp.zeros((npad - n, 1), jnp.int32)
         phase = jnp.concatenate([phase, pad1], axis=0)
         rem = jnp.concatenate([rem, pad1], axis=0)
+    spec1 = pl.BlockSpec((1, DEC_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((W, DEC_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    if not resume:
+        kern = functools.partial(_scan_walk_kernel_single, L=L, W=W,
+                                 G=W // 2, WE=weff)
+        out = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[wspec, spec1, spec1],
+            out_specs=spec1,
+            out_shape=jax.ShapeDtypeStruct((1, npad), jnp.int32),
+            interpret=interpret,
+        )(word_rows.T, phase.T, rem.T)
+        return out[0, :n]
+    if c0 is None:
+        c0 = jnp.zeros((n, 1), jnp.int32)
+    if w0 is None:
+        w0 = jnp.zeros((n, 1), jnp.int32)
+    if npad != n:
+        pad1 = jnp.zeros((npad - n, 1), jnp.int32)
         c0 = jnp.concatenate([c0, pad1], axis=0)
         w0 = jnp.concatenate([w0, pad1], axis=0)
     kern = functools.partial(_scan_walk_kernel, L=L, W=W, G=W // 2, WE=weff,
                              CAP=cap)
-    spec1 = pl.BlockSpec((1, DEC_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM)
     out, c, wx = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((W, DEC_TILE), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-                  spec1, spec1, spec1, spec1],
+        in_specs=[wspec, spec1, spec1, spec1, spec1],
         out_specs=[spec1, spec1, spec1],
         out_shape=[jax.ShapeDtypeStruct((1, npad), jnp.int32),
                    jax.ShapeDtypeStruct((1, npad), jnp.int32),
