@@ -297,3 +297,24 @@ def test_scan_mode_policy(monkeypatch):
     monkeypatch.setattr(E, "_native_checked", True)
     assert DS.scan_mode(DS.PY_SCAN_DEVICE_MIN_BYTES) == "device"
     assert DS.scan_mode(100) == "host"
+
+
+def test_foreign_decode_deferred_through_decompress_many(monkeypatch):
+    """The foreign path returns a deferred resolver (ok-flag sync moved to
+    pull time); decompress_many must resolve it in its puller and produce
+    images identical to the host-scan path, in order."""
+    monkeypatch.setenv("JPEG_TPU_DEVICE_DECODE", "1")
+    monkeypatch.setenv("JPEG_TPU_PALLAS", "interpret")
+    from jpeg_tpu import (Configuration, QuantizationMethod, compress_ycbcr,
+                          decompress_many)
+    rng = np.random.default_rng(8)
+    cfg = Configuration(width=40, height=24, block_size=2, dct_size=8,
+                        quantization=QuantizationMethod("qtable"))
+    imgs = [rng.integers(0, 256, (24, 40, 3), np.uint8) for _ in range(3)]
+    blobs = [compress_ycbcr(im, cfg) for im in imgs]
+    base = decompress_many(blobs)
+    monkeypatch.setenv("JPEG_TPU_SCAN", "device")
+    DS._rung_cache.pop(64, None)
+    got = decompress_many(blobs)
+    for g, b in zip(got, base):
+        assert np.array_equal(g, b)
