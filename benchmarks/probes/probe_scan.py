@@ -85,7 +85,7 @@ def main() -> None:
         P = pad
 
         # the rung scan_offsets_device settled on for this content
-        rungs = [r for r in DS._SPAN_RUNGS if r < DS._worst_span(L)] + [0]
+        rungs = DS.span_rungs(L)
         rung = rungs[DS._rung_cache.get(L, 0)]
         print(f"window rung: {rung or DS._worst_span(L)} bytes "
               f"(worst {DS._worst_span(L)})", flush=True)
